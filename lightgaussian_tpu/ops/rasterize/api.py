@@ -1,0 +1,124 @@
+"""Public render API — the TPU equivalent of the reference renderer wrappers
+(`/root/reference/gaussian_renderer/__init__.py:22-229`).
+
+`render(scene, camera, ...)` returns a RenderOutput with the rendered image,
+per-Gaussian radii and visibility, like the reference's dict
+`{render, viewspace_points, visibility_filter, radii}`; `count_render`
+additionally returns `gaussians_count` / `important_score` (the Global
+Significance Score inputs, `prune.py:133-157`).
+
+The reference's `viewspace_points` autograd trick becomes an explicit
+`mean2d_offset` parameter: pass a zeros [N, 2] array and differentiate w.r.t.
+it to obtain the screen-space positional gradients used for densification.
+
+`method` selects the implementation: "tiled" (binning + Pallas kernels; pass
+interpret=True on CPU) or "reference" (pure-jnp oracle; exact and slow).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.models.gaussians import GaussianScene
+from lightgaussian_tpu.ops.rasterize import reference as ref_mod
+from lightgaussian_tpu.ops.rasterize import tiled as tiled_mod
+from lightgaussian_tpu.ops.rasterize.binning import TILE_SIZE, estimate_max_instances, make_grid
+from lightgaussian_tpu.ops.rasterize.projection import Splats, preprocess
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOutput:
+    render: jnp.ndarray  # [3, H, W]
+    final_T: jnp.ndarray  # [H, W] remaining transmittance
+    radii: jnp.ndarray  # [N] int32
+    visibility: jnp.ndarray  # [N] bool (radii > 0)
+    num_instances: jnp.ndarray  # scalar int32 (tiled path; 0 for reference)
+    gaussians_count: Optional[jnp.ndarray] = None  # [N] int32 (count_render)
+    important_score: Optional[jnp.ndarray] = None  # [N] f32 (count_render)
+
+
+def default_max_instances(scene: GaussianScene, camera: Camera) -> int:
+    grid = make_grid(camera.width, camera.height)
+    return estimate_max_instances(scene.capacity, grid)
+
+
+def render(
+    scene: GaussianScene,
+    camera: Camera,
+    bg: jnp.ndarray,
+    scale_modifier: float = 1.0,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    max_instances: Optional[int] = None,
+    method: str = "tiled",
+    interpret: bool = False,
+) -> RenderOutput:
+    splats = preprocess(
+        scene,
+        camera,
+        scale_modifier=scale_modifier,
+        mean2d_offset=mean2d_offset,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
+    )
+    if method == "reference":
+        image, final_t = ref_mod.blend_reference(
+            splats, camera.width, camera.height, bg, tile_size=TILE_SIZE
+        )
+        total = jnp.int32(0)
+    elif method == "tiled":
+        if max_instances is None:
+            max_instances = default_max_instances(scene, camera)
+        image, final_t, total = tiled_mod.blend_tiled(
+            splats, bg, camera.width, camera.height, max_instances, interpret
+        )
+    else:
+        raise ValueError(f"unknown render method {method!r}")
+    return RenderOutput(
+        render=image,
+        final_T=final_t,
+        radii=splats.radius,
+        visibility=splats.radius > 0,
+        num_instances=total,
+    )
+
+
+def count_render(
+    scene: GaussianScene,
+    camera: Camera,
+    bg: jnp.ndarray,
+    scale_modifier: float = 1.0,
+    max_instances: Optional[int] = None,
+    method: str = "tiled",
+    interpret: bool = False,
+) -> RenderOutput:
+    """Forward render + per-Gaussian blending statistics (non-differentiable)."""
+    splats = preprocess(scene, camera, scale_modifier=scale_modifier)
+    if method == "reference":
+        image, final_t, cnt, imp = ref_mod.blend_reference(
+            splats, camera.width, camera.height, bg, tile_size=TILE_SIZE, with_counts=True
+        )
+        total = jnp.int32(0)
+    elif method == "tiled":
+        if max_instances is None:
+            max_instances = default_max_instances(scene, camera)
+        image, final_t, total, cnt, imp = tiled_mod.blend_tiled_counting(
+            splats, bg, camera.width, camera.height, max_instances, interpret
+        )
+    else:
+        raise ValueError(f"unknown render method {method!r}")
+    return RenderOutput(
+        render=image,
+        final_T=final_t,
+        radii=splats.radius,
+        visibility=splats.radius > 0,
+        num_instances=total,
+        gaussians_count=cnt,
+        important_score=imp,
+    )

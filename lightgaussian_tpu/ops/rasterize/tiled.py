@@ -1,0 +1,150 @@
+"""Differentiable tiled blend: binning + Pallas kernels under a custom VJP.
+
+The VJP boundary sits *after* the (autodiff-friendly) jnp preprocess: inputs are
+screen-space splats. Forward runs binning + the Pallas blend; backward reuses
+the forward's binning (saved integer residuals), runs the Pallas backward to
+per-instance gradients, and segment-sums them to per-Gaussian gradients —
+the atomics-free TPU replacement for CUDA's atomicAdd accumulation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightgaussian_tpu.ops.rasterize import binning as binning_mod
+from lightgaussian_tpu.ops.rasterize import pallas_blend as pk
+from lightgaussian_tpu.ops.rasterize.binning import TILE_SIZE, Binning, make_grid
+from lightgaussian_tpu.ops.rasterize.projection import Splats
+
+
+def _assemble_image(tile_planes: jnp.ndarray, grid) -> jnp.ndarray:
+    """[T, C, PIX] per-tile planes -> [C, H_pad, W_pad] image."""
+    c = tile_planes.shape[1]
+    x = tile_planes.reshape(grid.tiles_y, grid.tiles_x, c, TILE_SIZE, TILE_SIZE)
+    x = x.transpose(2, 0, 3, 1, 4)
+    return x.reshape(c, grid.tiles_y * TILE_SIZE, grid.tiles_x * TILE_SIZE)
+
+
+def _tile_image(image_pad: jnp.ndarray, grid) -> jnp.ndarray:
+    """[C, H_pad, W_pad] -> [T, C, PIX] per-tile planes."""
+    c = image_pad.shape[0]
+    x = image_pad.reshape(c, grid.tiles_y, TILE_SIZE, grid.tiles_x, TILE_SIZE)
+    x = x.transpose(1, 3, 0, 2, 4)
+    return x.reshape(grid.num_tiles, c, TILE_SIZE * TILE_SIZE)
+
+
+def _pad_instances(inst_feat: jnp.ndarray) -> jnp.ndarray:
+    """Pad the instance buffer by one chunk so chunked DMAs may overrun."""
+    return jnp.pad(inst_feat, ((0, pk.BLEND_CHUNK), (0, 0)))
+
+
+@functools.lru_cache(maxsize=32)
+def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
+    grid = make_grid(width, height)
+
+    def _forward(splats: Splats, bg: jnp.ndarray):
+        b = binning_mod.bin_splats(splats, grid, max_instances)
+        inst_pad = _pad_instances(b.inst_feat)
+        tile_rgb, tile_t = pk.blend_forward(b.tile_starts, inst_pad, grid, interpret)
+        img_pad = _assemble_image(tile_rgb, grid)
+        t_pad = _assemble_image(tile_t, grid)[0]
+        image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
+        return image, t_pad[:height, :width], b
+
+    @jax.custom_vjp
+    def blend(splats: Splats, bg: jnp.ndarray):
+        image, final_t, b = _forward(splats, bg)
+        return image, final_t, b.total
+
+    def blend_fwd(splats: Splats, bg: jnp.ndarray):
+        image, final_t, b = _forward(splats, bg)
+        return (image, final_t, b.total), (splats, bg, image, final_t, b)
+
+    def blend_bwd(res, cotangents):
+        splats, bg, image, final_t, b = res
+        g_image, g_t, _g_total = cotangents
+        n = splats.mean2d.shape[0]
+
+        # Per-pixel "remaining contribution" seed: dot(C_rendered, g) plus the
+        # direct cotangent of the T output (both decay as -x/(1-alpha_i)).
+        r = (image * g_image).sum(axis=0) + final_t * g_t  # [H, W]
+        g_pad = jnp.zeros((3, grid.tiles_y * TILE_SIZE, grid.tiles_x * TILE_SIZE))
+        g_pad = g_pad.at[:, :height, :width].set(g_image)
+        r_pad = jnp.zeros((1, grid.tiles_y * TILE_SIZE, grid.tiles_x * TILE_SIZE))
+        r_pad = r_pad.at[0, :height, :width].set(r)
+
+        tile_g = _tile_image(g_pad, grid)
+        tile_r = _tile_image(r_pad, grid)
+        inst_pad = _pad_instances(b.inst_feat)
+        inst_grads = pk.blend_backward(
+            b.tile_starts, inst_pad, tile_g, tile_r, grid, interpret
+        )[: max_instances]
+
+        slots = jnp.arange(max_instances)
+        live = (slots < b.total)[:, None]
+        inst_grads = jnp.where(live, inst_grads, 0.0)
+        ids = jnp.where(live[:, 0], b.inst_gauss, n)
+        per_gauss = jax.ops.segment_sum(inst_grads, ids, num_segments=n + 1)[:n]
+
+        d_splats = Splats(
+            mean2d=per_gauss[:, binning_mod.FEAT_MX:binning_mod.FEAT_MY + 1],
+            conic=per_gauss[:, binning_mod.FEAT_CA:binning_mod.FEAT_CC + 1],
+            color=per_gauss[:, binning_mod.FEAT_R:binning_mod.FEAT_B + 1],
+            opacity=per_gauss[:, binning_mod.FEAT_OPA],
+            depth=jnp.zeros_like(splats.depth),
+            radius=np.zeros(splats.radius.shape, jax.dtypes.float0),
+        )
+        d_bg = (final_t[None] * g_image).sum(axis=(1, 2))
+        return d_splats, d_bg
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+def blend_tiled(
+    splats: Splats,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    max_instances: int,
+    interpret: bool = False,
+):
+    """Differentiable blend. Returns (image [3,H,W], final_T [H,W], total int32).
+
+    `total` is the live instance count (monitor vs `max_instances` for overflow).
+    """
+    return _get_blend_fn(width, height, max_instances, bool(interpret))(splats, bg)
+
+
+def blend_tiled_counting(
+    splats: Splats,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    max_instances: int,
+    interpret: bool = False,
+):
+    """Non-differentiable counting forward: also returns per-Gaussian
+    (hit_count int32, imp_score float32) — the reference's f_count outputs."""
+    grid = make_grid(width, height)
+    n = splats.mean2d.shape[0]
+    b = binning_mod.bin_splats(splats, grid, max_instances)
+    inst_pad = _pad_instances(b.inst_feat)
+    tile_rgb, tile_t, imp, cnt = pk.blend_forward_counting(
+        b.tile_starts, inst_pad, grid, interpret
+    )
+    img_pad = _assemble_image(tile_rgb, grid)
+    t_pad = _assemble_image(tile_t, grid)[0]
+    image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
+
+    slots = jnp.arange(max_instances)
+    live = slots < b.total
+    imp = jnp.where(live, imp[:max_instances, 0], 0.0)
+    cnt = jnp.where(live, cnt[:max_instances, 0], 0.0)
+    ids = jnp.where(live, b.inst_gauss, n)
+    gauss_imp = jax.ops.segment_sum(imp, ids, num_segments=n + 1)[:n]
+    gauss_cnt = jax.ops.segment_sum(cnt, ids, num_segments=n + 1)[:n].astype(jnp.int32)
+    return image, t_pad[:height, :width], b.total, gauss_cnt, gauss_imp
