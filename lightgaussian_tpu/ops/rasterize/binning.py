@@ -19,12 +19,18 @@ from lightgaussian_tpu.ops.rasterize.projection import Splats
 
 TILE_SIZE = 32  # 32x32 px = 1024 lanes = a full (8, 128) f32 vector register set.
 
-# Packed per-instance feature columns (width 16 for contiguous 64-byte rows).
+# Packed per-instance feature columns.
 FEAT_MX, FEAT_MY = 0, 1
 FEAT_CA, FEAT_CB, FEAT_CC = 2, 3, 4
 FEAT_R, FEAT_G, FEAT_B = 5, 6, 7
 FEAT_OPA = 8
 FEAT_WIDTH = 16
+
+# Instances are blended in chunks of 128 and stored chunk-major in HBM as
+# [CAP/128, FEAT_WIDTH, 128] (feature-on-sublane, instance-on-lane) — a
+# perfectly (8,128)-tiled layout that supports dynamic-offset DMA; narrow
+# trailing dims would be lane-padded by XLA and un-sliceable by Mosaic.
+INST_CHUNK = 128
 
 
 class TileGrid(NamedTuple):
@@ -68,12 +74,24 @@ def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, grid: TileGrid, tile_siz
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Binning:
-    """Sorted instance buffer + per-tile ranges."""
+    """Sorted, per-tile-padded instance buffer + per-tile ranges.
 
-    inst_feat: jnp.ndarray  # [M, 16] packed per-instance features, sorted
-    inst_gauss: jnp.ndarray  # [M] source Gaussian id (int32), sorted
-    tile_starts: jnp.ndarray  # [T+1] int32 range starts into the sorted buffer
-    total: jnp.ndarray  # scalar int32: live instances (may exceed M => overflow)
+    Each tile's instance range is padded to a multiple of INST_CHUNK so every
+    128-instance chunk belongs to exactly one tile (chunk-granular kernel
+    writes never touch another tile's data). Padding slots have zero features
+    (alpha == 0) and sentinel gauss id == N.
+    """
+
+    inst_chunks: jnp.ndarray  # [CAP/128, FEAT_WIDTH, 128] f32
+    inst_gauss: jnp.ndarray  # [CAP] int32 source Gaussian id (N = padding)
+    tile_starts: jnp.ndarray  # [T+1] int32, every entry a multiple of 128
+    total: jnp.ndarray  # scalar int32: true live instances (overflow monitor)
+
+
+def instance_capacity(max_instances: int, grid: TileGrid) -> int:
+    """Static padded capacity: live instances + per-tile alignment waste."""
+    cap = max_instances + (grid.num_tiles + 1) * INST_CHUNK
+    return ((cap + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
 
 
 def pack_features(splats: Splats) -> jnp.ndarray:
@@ -89,6 +107,7 @@ def pack_features(splats: Splats) -> jnp.ndarray:
 
 def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: int = TILE_SIZE) -> Binning:
     n = splats.mean2d.shape[0]
+    cap = instance_capacity(max_instances, grid)
     lo_x, lo_y, hi_x, _hi_y, count = tile_rect(splats.mean2d, splats.radius, grid, tile_size)
 
     cum = jnp.cumsum(count)
@@ -112,18 +131,33 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
         (tile, depth, jnp.where(live, gid_c, n).astype(jnp.int32)), num_keys=2
     )
 
-    starts = jnp.searchsorted(
+    # True per-tile ranges in the sorted order, then chunk-aligned ranges.
+    raw_starts = jnp.searchsorted(
         tile_s, jnp.arange(grid.num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    counts_t = raw_starts[1:] - raw_starts[:-1]
+    padded_counts = ((counts_t + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
+    tile_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    )
+
+    # Scatter sorted instances to their padded positions (drop on overflow).
+    tile_sc = jnp.minimum(tile_s, grid.num_tiles - 1)
+    pos = tile_starts[tile_sc] + (slots - raw_starts[tile_sc])
+    pos = jnp.where(live & (tile_s < grid.num_tiles), pos, cap)
 
     feat = pack_features(splats)
     inst_feat = feat[jnp.minimum(gid_s, n - 1)]
     inst_feat = jnp.where((gid_s < n)[:, None], inst_feat, 0.0)
+    flat = jnp.zeros((cap, FEAT_WIDTH), jnp.float32).at[pos].set(inst_feat, mode="drop")
+    inst_gauss = jnp.full((cap,), n, jnp.int32).at[pos].set(gid_s, mode="drop")
+
+    inst_chunks = flat.reshape(cap // INST_CHUNK, INST_CHUNK, FEAT_WIDTH).transpose(0, 2, 1)
 
     return Binning(
-        inst_feat=inst_feat,
-        inst_gauss=gid_s,
-        tile_starts=starts,
+        inst_chunks=inst_chunks,
+        inst_gauss=inst_gauss,
+        tile_starts=tile_starts,
         total=total,
     )
 
@@ -133,5 +167,4 @@ def estimate_max_instances(num_gaussians: int, grid: TileGrid, avg_tiles_per_gau
     (with a recompile) if `Binning.total` ever approaches it."""
     m = int(num_gaussians * avg_tiles_per_gaussian)
     m = max(m, 1 << 16)
-    # round to multiple of 4096 for clean chunking
-    return ((m + 4095) // 4096) * 4096
+    return ((m + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK

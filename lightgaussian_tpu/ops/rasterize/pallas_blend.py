@@ -2,18 +2,21 @@
 
 TPU-native re-design of the CUDA rasterizer's renderCUDA / renderBackwardCUDA
 (SURVEY.md §2.1a): one grid program per 32x32-pixel tile; each program streams
-its (tile, depth)-sorted instance range from HBM in double-buffered chunks and
-blends all 1024 pixels at once:
+its (tile, depth)-sorted instance range from HBM in double-buffered 128-wide
+chunks and blends all 1024 pixels at once:
 
-- within-chunk transmittance prefixes are a strict-lower-triangular matmul of
-  log(1-alpha) on the MXU (no sequential per-splat loop),
-- color accumulation is a [3,G]x[G,1024] matmul,
+- instance chunks live in HBM as [16, 128] feature-major blocks (perfectly
+  (8,128)-tiled; transposed to instance-major [128, 16] in-kernel),
+- within-chunk transmittance prefixes are a strict-lower-triangular
+  [128,128]x[128,1024] matmul of log(1-alpha) on the MXU (no sequential
+  per-splat loop),
+- color accumulation is a [3,128]x[128,1024] matmul,
 - the reference's sequential early-stop (T*(1-a) < 1e-4 freezes T) is the
   equivalent monotone masked form proved in reference.py,
 - the backward re-walks chunks *front-to-back* carrying the per-pixel
   "remaining contribution" scalar, so no reverse storage is needed, and
-  per-instance gradients go to an HBM buffer (segment-summed to Gaussians
-  outside the kernel — no atomics).
+  per-instance gradients go to chunk-exclusive HBM blocks (segment-summed to
+  Gaussians outside the kernel — no atomics).
 
 Counting (`f_count`) emits per-instance hit counts and alpha*T mass in the same
 forward walk (`/root/reference/gaussian_renderer/__init__.py:156-229` semantics).
@@ -37,12 +40,13 @@ from lightgaussian_tpu.ops.rasterize.binning import (
     FEAT_R,
     FEAT_B,
     FEAT_WIDTH,
+    INST_CHUNK,
     TILE_SIZE,
     TileGrid,
 )
 from lightgaussian_tpu.ops.rasterize.projection import ALPHA_EPS, MAX_ALPHA, T_EPS
 
-BLEND_CHUNK = 64  # instances blended per inner step
+BLEND_CHUNK = INST_CHUNK  # 128 instances blended per inner step
 PIX = TILE_SIZE * TILE_SIZE  # 1024 pixels/tile = 8 sublanes x 128 lanes of f32
 
 
@@ -56,10 +60,11 @@ def _pixel_coords(tile_id, tiles_x):
     return px, py
 
 
-def _chunk_alpha(f, px, py, k, count, pix_valid):
+def _chunk_alpha(f, px, py, pix_valid):
     """Shared fwd/bwd per-chunk alpha computation.
 
-    f: [G, FEAT_WIDTH] packed features. Returns (alpha [G,PIX], extras dict).
+    f: [G, FEAT_WIDTH] instance-major features (padding rows are all-zero, so
+    their alpha is 0 and they are inert). Returns (alpha [G,PIX], extras).
     """
     mx = f[:, FEAT_MX:FEAT_MX + 1]
     my = f[:, FEAT_MY:FEAT_MY + 1]
@@ -73,9 +78,7 @@ def _chunk_alpha(f, px, py, k, count, pix_valid):
     g_exp = jnp.exp(power)
     alpha_raw = opa * g_exp
     alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-    row = jax.lax.broadcasted_iota(jnp.int32, (BLEND_CHUNK, 1), 0)
-    in_range = (k * BLEND_CHUNK + row) < count
-    elig = (power <= 0.0) & (alpha >= ALPHA_EPS) & in_range & pix_valid
+    elig = (power <= 0.0) & (alpha >= ALPHA_EPS) & pix_valid
     alpha = jnp.where(elig, alpha, 0.0)
     return alpha, dict(
         dx=dx, dy=dy, g_exp=g_exp, alpha_raw=alpha_raw, elig=elig,
@@ -91,12 +94,21 @@ def _tri_masks():
     return strict_lower, incl_lower
 
 
+def _make_chunk_dma(inst_hbm, buf, sems):
+    def get_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            inst_hbm.at[chunk_idx], buf.at[slot], sems.at[slot]
+        )
+
+    return get_dma
+
+
 def _fwd_kernel(
-    starts_ref,  # scalar prefetch: [T+1] int32
-    inst_hbm,  # [M_pad, FEAT_WIDTH] f32 (ANY)
+    starts_ref,  # scalar prefetch: [T+1] int32 (multiples of 128)
+    inst_hbm,  # [CAP/128, FEAT_WIDTH, 128] f32 (HBM)
     rgb_out,  # [1, 3, PIX] VMEM block
     t_out,  # [1, 1, PIX] VMEM block
-    buf,  # VMEM scratch (2, G, FEAT_WIDTH)
+    buf,  # VMEM scratch (2, FEAT_WIDTH, 128)
     sems,  # DMA sems (2,)
     *,
     tiles_x: int,
@@ -105,23 +117,17 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
-    count = starts_ref[t + 1] - start
-    nchunks = pl.cdiv(count, BLEND_CHUNK)
+    chunk_base = start // BLEND_CHUNK
+    nchunks = (starts_ref[t + 1] - start) // BLEND_CHUNK
 
     px, py = _pixel_coords(t, tiles_x)
     pix_valid = (px < width) & (py < height)
     strict_lower, _ = _tri_masks()
-
-    def get_dma(slot, k):
-        return pltpu.make_async_copy(
-            inst_hbm.at[pl.ds(start + k * BLEND_CHUNK, BLEND_CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
+    get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, chunk_base).start()
 
     def body(state):
         k, t_naive, t_act, rgb = state
@@ -129,19 +135,19 @@ def _fwd_kernel(
 
         @pl.when(k + 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma((k + 1) % 2, chunk_base + k + 1).start()
 
-        get_dma(slot, k).wait()
-        f = buf[slot]
-        alpha, _ = _chunk_alpha(f, px, py, k, count, pix_valid)
+        get_dma(slot, chunk_base + k).wait()
+        f = buf[slot].T  # [128, 16] instance-major
+        alpha, _ = _chunk_alpha(f, px, py, pix_valid)
         lg = jnp.log1p(-alpha)
-        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32)
+        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         t_i = t_naive * jnp.exp(ecs)  # [G, PIX]
         apply = (t_i * (1.0 - alpha)) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
         col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
         rgb = rgb + jax.lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
         t_naive = t_naive * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
         t_act = t_act * jnp.exp(
@@ -164,7 +170,7 @@ def _fwd_kernel(
     # Early exit leaves one started-but-unawaited DMA in flight; drain it.
     @pl.when(k_end < nchunks)
     def _():
-        get_dma(k_end % 2, k_end).wait()
+        get_dma(k_end % 2, chunk_base + k_end).wait()
 
     rgb_out[0] = rgb
     t_out[0] = t_act
@@ -175,12 +181,12 @@ def _count_kernel(
     inst_hbm,
     rgb_out,
     t_out,
-    imp_out,  # [M_pad, 1] f32 (ANY) — per-instance alpha*T mass
-    cnt_out,  # [M_pad, 1] f32 (ANY) — per-instance pixel hit count
+    imp_out,  # [CAP/128, 1, 128] f32 (HBM) — per-instance alpha*T mass
+    cnt_out,  # [CAP/128, 1, 128] f32 (HBM) — per-instance pixel hit count
     buf,
     sems,
-    stat_buf,  # VMEM scratch (G, 2)
-    stat_sem,
+    stat_buf,  # VMEM scratch (2, 1, 128)
+    stat_sems,  # DMA sems (2,)
     *,
     tiles_x: int,
     width: int,
@@ -188,23 +194,17 @@ def _count_kernel(
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
-    count = starts_ref[t + 1] - start
-    nchunks = pl.cdiv(count, BLEND_CHUNK)
+    chunk_base = start // BLEND_CHUNK
+    nchunks = (starts_ref[t + 1] - start) // BLEND_CHUNK
 
     px, py = _pixel_coords(t, tiles_x)
     pix_valid = (px < width) & (py < height)
     strict_lower, _ = _tri_masks()
-
-    def get_dma(slot, k):
-        return pltpu.make_async_copy(
-            inst_hbm.at[pl.ds(start + k * BLEND_CHUNK, BLEND_CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
+    get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, chunk_base).start()
 
     def body(k, state):
         t_naive, t_act, rgb = state
@@ -212,37 +212,33 @@ def _count_kernel(
 
         @pl.when(k + 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma((k + 1) % 2, chunk_base + k + 1).start()
 
-        get_dma(slot, k).wait()
-        f = buf[slot]
-        alpha, _ = _chunk_alpha(f, px, py, k, count, pix_valid)
+        get_dma(slot, chunk_base + k).wait()
+        f = buf[slot].T
+        alpha, _ = _chunk_alpha(f, px, py, pix_valid)
         lg = jnp.log1p(-alpha)
-        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32)
+        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         t_i = t_naive * jnp.exp(ecs)
         apply = (t_i * (1.0 - alpha)) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
         col = f[:, FEAT_R:FEAT_B + 1]
         rgb = rgb + jax.lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
 
-        # Per-instance stats -> HBM (sequential grid, no races).
-        stat_sem_copy = pltpu.make_async_copy(
-            stat_buf.at[:, 0:1],
-            imp_out.at[pl.ds(start + k * BLEND_CHUNK, BLEND_CHUNK)],
-            stat_sem,
+        # Per-instance stats -> chunk-exclusive HBM blocks (no races).
+        stat_buf[0] = jnp.sum(w, axis=1, keepdims=True).T  # [1, 128]
+        stat_buf[1] = jnp.sum((w > 0.0).astype(jnp.float32), axis=1, keepdims=True).T
+        imp_copy = pltpu.make_async_copy(
+            stat_buf.at[0], imp_out.at[chunk_base + k], stat_sems.at[0]
         )
-        stat_buf[:, 0:1] = jnp.sum(w, axis=1, keepdims=True)
-        stat_buf[:, 1:2] = jnp.sum((w > 0.0).astype(jnp.float32), axis=1, keepdims=True)
-        stat_sem_copy.start()
-        stat_sem_copy.wait()
         cnt_copy = pltpu.make_async_copy(
-            stat_buf.at[:, 1:2],
-            cnt_out.at[pl.ds(start + k * BLEND_CHUNK, BLEND_CHUNK)],
-            stat_sem,
+            stat_buf.at[1], cnt_out.at[chunk_base + k], stat_sems.at[1]
         )
+        imp_copy.start()
         cnt_copy.start()
+        imp_copy.wait()
         cnt_copy.wait()
 
         t_naive = t_naive * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
@@ -267,10 +263,10 @@ def _bwd_kernel(
     inst_hbm,
     g_rgb_ref,  # [1, 3, PIX] block: dL/d(pre-crop tile rgb)
     r_init_ref,  # [1, 1, PIX] block: per-pixel dot(C_rendered, g) incl. bg
-    grads_out,  # [M_pad, FEAT_WIDTH] f32 (ANY): per-instance feature grads
+    grads_out,  # [CAP/128, FEAT_WIDTH, 128] f32 (HBM): per-instance grads
     buf,
     sems,
-    grad_buf,  # VMEM scratch (G, FEAT_WIDTH)
+    grad_buf,  # VMEM scratch (FEAT_WIDTH, 128)
     grad_sem,
     *,
     tiles_x: int,
@@ -279,24 +275,18 @@ def _bwd_kernel(
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
-    count = starts_ref[t + 1] - start
-    nchunks = pl.cdiv(count, BLEND_CHUNK)
+    chunk_base = start // BLEND_CHUNK
+    nchunks = (starts_ref[t + 1] - start) // BLEND_CHUNK
 
     px, py = _pixel_coords(t, tiles_x)
     pix_valid = (px < width) & (py < height)
     strict_lower, incl_lower = _tri_masks()
     g = g_rgb_ref[0]  # [3, PIX]
-
-    def get_dma(slot, k):
-        return pltpu.make_async_copy(
-            inst_hbm.at[pl.ds(start + k * BLEND_CHUNK, BLEND_CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
+    get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, chunk_base).start()
 
     def body(k, state):
         t_naive, r_carry = state  # [1,PIX], [1,PIX]
@@ -304,21 +294,21 @@ def _bwd_kernel(
 
         @pl.when(k + 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma((k + 1) % 2, chunk_base + k + 1).start()
 
-        get_dma(slot, k).wait()
-        f = buf[slot]
-        alpha, ex = _chunk_alpha(f, px, py, k, count, pix_valid)
+        get_dma(slot, chunk_base + k).wait()
+        f = buf[slot].T
+        alpha, ex = _chunk_alpha(f, px, py, pix_valid)
         lg = jnp.log1p(-alpha)
-        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32)
+        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         t_i = t_naive * jnp.exp(ecs)
         apply = (t_i * (1.0 - alpha)) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
 
         col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
-        cw = jnp.dot(col, g, preferred_element_type=jnp.float32)  # [G, PIX]
+        cw = jnp.dot(col, g, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [G, PIX]
         contrib = cw * w
-        incl_prefix = jnp.dot(incl_lower, contrib, preferred_element_type=jnp.float32)
+        incl_prefix = jnp.dot(incl_lower, contrib, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         r_i = r_carry - incl_prefix  # remaining contribution after i (incl. bg)
         d_alpha = jnp.where(apply, cw * t_i - r_i / (1.0 - alpha), 0.0)
 
@@ -332,28 +322,26 @@ def _bwd_kernel(
         d_ca = -0.5 * d_power * dx * dx
         d_cb = -d_power * dx * dy
         d_cc = -0.5 * d_power * dy * dy
-        # d(power)/d(dx) = -(ca*dx + cb*dy); dx = px - mx => d/d(mx) = +...
+        # d(power)/d(dx) = -(ca*dx + cb*dy); dx = px - mx => d/d(mx) flips sign.
         d_mx = d_power * (ex["ca"] * dx + ex["cb"] * dy)
         d_my = d_power * (ex["cc"] * dy + ex["cb"] * dx)
 
         d_col = jax.lax.dot_general(
-            w, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            w, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )  # [G, 3]
 
-        grad_buf[:, FEAT_MX:FEAT_MX + 1] = jnp.sum(d_mx, axis=1, keepdims=True)
-        grad_buf[:, FEAT_MY:FEAT_MY + 1] = jnp.sum(d_my, axis=1, keepdims=True)
-        grad_buf[:, FEAT_CA:FEAT_CA + 1] = jnp.sum(d_ca, axis=1, keepdims=True)
-        grad_buf[:, FEAT_CB:FEAT_CB + 1] = jnp.sum(d_cb, axis=1, keepdims=True)
-        grad_buf[:, FEAT_CC:FEAT_CC + 1] = jnp.sum(d_cc, axis=1, keepdims=True)
-        grad_buf[:, FEAT_R:FEAT_B + 1] = d_col
-        grad_buf[:, FEAT_OPA:FEAT_OPA + 1] = jnp.sum(d_opa, axis=1, keepdims=True)
-        grad_buf[:, FEAT_OPA + 1:] = jnp.zeros(
-            (BLEND_CHUNK, FEAT_WIDTH - FEAT_OPA - 1), jnp.float32
-        )
+        def rsum(x):  # [G, PIX] -> [G, 1]
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        pad = jnp.zeros((BLEND_CHUNK, FEAT_WIDTH - FEAT_OPA - 1), jnp.float32)
+        gmat = jnp.concatenate(
+            [rsum(d_mx), rsum(d_my), rsum(d_ca), rsum(d_cb), rsum(d_cc),
+             d_col, rsum(d_opa), pad],
+            axis=1,
+        )  # [G, FEAT_WIDTH]
+        grad_buf[:] = gmat.T  # [FEAT_WIDTH, 128]
         out_copy = pltpu.make_async_copy(
-            grad_buf,
-            grads_out.at[pl.ds(start + k * BLEND_CHUNK, BLEND_CHUNK)],
-            grad_sem,
+            grad_buf, grads_out.at[chunk_base + k], grad_sem
         )
         out_copy.start()
         out_copy.wait()
@@ -370,16 +358,14 @@ def _common_grid_spec(grid: TileGrid, extra_in_specs, out_specs, scratch):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid.num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + extra_in_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] + extra_in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid", "interpret")
-)
-def blend_forward(tile_starts, inst_feat_pad, grid: TileGrid, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("grid", "interpret"))
+def blend_forward(tile_starts, inst_chunks, grid: TileGrid, interpret: bool = False):
     """Returns (tile_rgb [T, 3, PIX], tile_T [T, 1, PIX])."""
     kernel = functools.partial(
         _fwd_kernel, tiles_x=grid.tiles_x, width=grid.width, height=grid.height
@@ -392,7 +378,7 @@ def blend_forward(tile_starts, inst_feat_pad, grid: TileGrid, interpret: bool = 
             pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         [
-            pltpu.VMEM((2, BLEND_CHUNK, FEAT_WIDTH), jnp.float32),
+            pltpu.VMEM((2, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -404,14 +390,14 @@ def blend_forward(tile_starts, inst_feat_pad, grid: TileGrid, interpret: bool = 
             jax.ShapeDtypeStruct((grid.num_tiles, 1, PIX), jnp.float32),
         ),
         interpret=interpret,
-    )(tile_starts, inst_feat_pad)
+    )(tile_starts, inst_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "interpret"))
-def blend_forward_counting(tile_starts, inst_feat_pad, grid: TileGrid, interpret: bool = False):
+def blend_forward_counting(tile_starts, inst_chunks, grid: TileGrid, interpret: bool = False):
     """Forward + per-instance (imp, hit-count) stats. Returns
-    (tile_rgb, tile_T, imp [M_pad, 1], cnt [M_pad, 1])."""
-    m_pad = inst_feat_pad.shape[0]
+    (tile_rgb, tile_T, imp [CAP/128, 1, 128], cnt [CAP/128, 1, 128])."""
+    ncap = inst_chunks.shape[0]
     kernel = functools.partial(
         _count_kernel, tiles_x=grid.tiles_x, width=grid.width, height=grid.height
     )
@@ -421,14 +407,14 @@ def blend_forward_counting(tile_starts, inst_feat_pad, grid: TileGrid, interpret
         (
             pl.BlockSpec((1, 3, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         [
-            pltpu.VMEM((2, BLEND_CHUNK, FEAT_WIDTH), jnp.float32),
+            pltpu.VMEM((2, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((BLEND_CHUNK, 2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 1, BLEND_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -437,18 +423,18 @@ def blend_forward_counting(tile_starts, inst_feat_pad, grid: TileGrid, interpret
         out_shape=(
             jax.ShapeDtypeStruct((grid.num_tiles, 3, PIX), jnp.float32),
             jax.ShapeDtypeStruct((grid.num_tiles, 1, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ncap, 1, BLEND_CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((ncap, 1, BLEND_CHUNK), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts, inst_feat_pad)
+    )(tile_starts, inst_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "interpret"))
-def blend_backward(tile_starts, inst_feat_pad, tile_g_rgb, tile_r_init, grid: TileGrid, interpret: bool = False):
-    """Per-instance feature gradients [M_pad, FEAT_WIDTH]."""
-    m_pad = inst_feat_pad.shape[0]
+def blend_backward(tile_starts, inst_chunks, tile_g_rgb, tile_r_init, grid: TileGrid, interpret: bool = False):
+    """Per-instance feature gradients [CAP/128, FEAT_WIDTH, 128]."""
+    ncap = inst_chunks.shape[0]
     kernel = functools.partial(
         _bwd_kernel, tiles_x=grid.tiles_x, width=grid.width, height=grid.height
     )
@@ -458,18 +444,18 @@ def blend_backward(tile_starts, inst_feat_pad, tile_g_rgb, tile_r_init, grid: Ti
             pl.BlockSpec((1, 3, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.HBM),
         [
-            pltpu.VMEM((2, BLEND_CHUNK, FEAT_WIDTH), jnp.float32),
+            pltpu.VMEM((2, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((BLEND_CHUNK, FEAT_WIDTH), jnp.float32),
+            pltpu.VMEM((FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, FEAT_WIDTH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ncap, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts, inst_feat_pad, tile_g_rgb, tile_r_init)
+    )(tile_starts, inst_chunks, tile_g_rgb, tile_r_init)

@@ -16,7 +16,7 @@ import numpy as np
 
 from lightgaussian_tpu.ops.rasterize import binning as binning_mod
 from lightgaussian_tpu.ops.rasterize import pallas_blend as pk
-from lightgaussian_tpu.ops.rasterize.binning import TILE_SIZE, Binning, make_grid
+from lightgaussian_tpu.ops.rasterize.binning import TILE_SIZE, make_grid
 from lightgaussian_tpu.ops.rasterize.projection import Splats
 
 
@@ -36,9 +36,10 @@ def _tile_image(image_pad: jnp.ndarray, grid) -> jnp.ndarray:
     return x.reshape(grid.num_tiles, c, TILE_SIZE * TILE_SIZE)
 
 
-def _pad_instances(inst_feat: jnp.ndarray) -> jnp.ndarray:
-    """Pad the instance buffer by one chunk so chunked DMAs may overrun."""
-    return jnp.pad(inst_feat, ((0, pk.BLEND_CHUNK), (0, 0)))
+def _unchunk(chunked: jnp.ndarray) -> jnp.ndarray:
+    """[NC, F, 128] chunk-major -> [NC*128, F] instance-major."""
+    nc, f, g = chunked.shape
+    return chunked.transpose(0, 2, 1).reshape(nc * g, f)
 
 
 @functools.lru_cache(maxsize=32)
@@ -47,8 +48,7 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
 
     def _forward(splats: Splats, bg: jnp.ndarray):
         b = binning_mod.bin_splats(splats, grid, max_instances)
-        inst_pad = _pad_instances(b.inst_feat)
-        tile_rgb, tile_t = pk.blend_forward(b.tile_starts, inst_pad, grid, interpret)
+        tile_rgb, tile_t = pk.blend_forward(b.tile_starts, b.inst_chunks, grid, interpret)
         img_pad = _assemble_image(tile_rgb, grid)
         t_pad = _assemble_image(tile_t, grid)[0]
         image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
@@ -78,16 +78,19 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
 
         tile_g = _tile_image(g_pad, grid)
         tile_r = _tile_image(r_pad, grid)
-        inst_pad = _pad_instances(b.inst_feat)
-        inst_grads = pk.blend_backward(
-            b.tile_starts, inst_pad, tile_g, tile_r, grid, interpret
-        )[: max_instances]
+        grad_chunks = pk.blend_backward(
+            b.tile_starts, b.inst_chunks, tile_g, tile_r, grid, interpret
+        )
+        inst_grads = _unchunk(grad_chunks)  # [CAP, FEAT_WIDTH]
 
-        slots = jnp.arange(max_instances)
-        live = (slots < b.total)[:, None]
-        inst_grads = jnp.where(live, inst_grads, 0.0)
-        ids = jnp.where(live[:, 0], b.inst_gauss, n)
-        per_gauss = jax.ops.segment_sum(inst_grads, ids, num_segments=n + 1)[:n]
+        # Padding slots carry sentinel id == n; ranges past the last tile are
+        # never written by the kernel, so zero them before the segment sum.
+        cap = inst_grads.shape[0]
+        written = jnp.arange(cap, dtype=jnp.int32) < b.tile_starts[-1]
+        ids = jnp.where(written, b.inst_gauss, n)
+        per_gauss = jax.ops.segment_sum(
+            jnp.where(written[:, None], inst_grads, 0.0), ids, num_segments=n + 1
+        )[:n]
 
         d_splats = Splats(
             mean2d=per_gauss[:, binning_mod.FEAT_MX:binning_mod.FEAT_MY + 1],
@@ -132,19 +135,19 @@ def blend_tiled_counting(
     grid = make_grid(width, height)
     n = splats.mean2d.shape[0]
     b = binning_mod.bin_splats(splats, grid, max_instances)
-    inst_pad = _pad_instances(b.inst_feat)
     tile_rgb, tile_t, imp, cnt = pk.blend_forward_counting(
-        b.tile_starts, inst_pad, grid, interpret
+        b.tile_starts, b.inst_chunks, grid, interpret
     )
     img_pad = _assemble_image(tile_rgb, grid)
     t_pad = _assemble_image(tile_t, grid)[0]
     image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
 
-    slots = jnp.arange(max_instances)
-    live = slots < b.total
-    imp = jnp.where(live, imp[:max_instances, 0], 0.0)
-    cnt = jnp.where(live, cnt[:max_instances, 0], 0.0)
-    ids = jnp.where(live, b.inst_gauss, n)
-    gauss_imp = jax.ops.segment_sum(imp, ids, num_segments=n + 1)[:n]
-    gauss_cnt = jax.ops.segment_sum(cnt, ids, num_segments=n + 1)[:n].astype(jnp.int32)
+    imp = _unchunk(imp)[:, 0]  # [CAP]
+    cnt = _unchunk(cnt)[:, 0]
+    cap = imp.shape[0]
+    written = jnp.arange(cap, dtype=jnp.int32) < b.tile_starts[-1]
+    ids = jnp.where(written, b.inst_gauss, n)
+    zero = jnp.where(written, 1.0, 0.0)
+    gauss_imp = jax.ops.segment_sum(imp * zero, ids, num_segments=n + 1)[:n]
+    gauss_cnt = jax.ops.segment_sum(cnt * zero, ids, num_segments=n + 1)[:n].astype(jnp.int32)
     return image, t_pad[:height, :width], b.total, gauss_cnt, gauss_imp

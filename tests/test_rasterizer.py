@@ -1,0 +1,127 @@
+"""Parity gates: tiled Pallas rasterizer (interpret mode) vs the jnp oracle —
+forward image, parameter gradients, and counting outputs (BASELINE config[0])."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightgaussian_tpu.models.gaussians import GaussianScene
+from lightgaussian_tpu.ops.rasterize import render, count_render
+from lightgaussian_tpu.utils.synthetic import default_camera, random_scene
+
+BG = jnp.array([0.1, 0.2, 0.3], jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return random_scene(n=256, seed=1)
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return default_camera(width=96, height=64)
+
+
+class TestForwardParity:
+    def test_image_matches_oracle(self, scene, camera):
+        out_ref = render(scene, camera, BG, method="reference")
+        out_tile = render(scene, camera, BG, method="tiled", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_tile.render), np.asarray(out_ref.render), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_tile.final_T), np.asarray(out_ref.final_T), atol=2e-5
+        )
+
+    def test_image_nontrivial(self, scene, camera):
+        out = render(scene, camera, BG, method="reference")
+        img = np.asarray(out.render)
+        assert img.std() > 0.05  # scene actually renders something
+        assert np.asarray(out.final_T).min() < 0.6  # some opacity accumulated
+        assert int(np.asarray(out.visibility).sum()) > 100
+
+    def test_empty_scene_renders_bg(self, camera):
+        import dataclasses
+
+        s = random_scene(n=8, seed=2)
+        s = dataclasses.replace(s, alive=jnp.zeros_like(s.alive))
+        out = render(s, camera, BG, method="tiled", interpret=True)
+        img = np.asarray(out.render)
+        np.testing.assert_allclose(img, np.broadcast_to(np.asarray(BG)[:, None, None], img.shape), atol=1e-6)
+
+
+class TestGradientParity:
+    def _loss_fn(self, method, camera, weights, interpret=False):
+        def loss(params, scene: GaussianScene, bg):
+            s = scene.with_params(params)
+            out = render(s, camera, bg, method=method, interpret=interpret)
+            return (out.render * weights).sum()
+
+        return loss
+
+    def test_grads_match_oracle(self, scene, camera, rng):
+        weights = jnp.asarray(rng.normal(size=(3, camera.height, camera.width)), jnp.float32)
+        params = scene.params()
+        g_ref = jax.grad(self._loss_fn("reference", camera, weights))(params, scene, BG)
+        g_tile = jax.grad(self._loss_fn("tiled", camera, weights, interpret=True))(
+            params, scene, BG
+        )
+        for k in params:
+            a, b = np.asarray(g_tile[k]), np.asarray(g_ref[k])
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=5e-5, err_msg=f"grad mismatch for {k}"
+            )
+            assert np.abs(b).max() > 0, f"oracle grad for {k} is all-zero (vacuous test)"
+
+    def test_bg_gradient(self, scene, camera):
+        def loss(bg):
+            return render(scene, camera, bg, method="tiled", interpret=True).render.sum()
+
+        g = jax.grad(loss)(BG)
+        out = render(scene, camera, BG, method="reference")
+        expected = np.asarray(out.final_T).sum()
+        np.testing.assert_allclose(np.asarray(g), np.full(3, expected), rtol=1e-4)
+
+    def test_mean2d_offset_gradient(self, scene, camera, rng):
+        """The densification-stats hook: grads w.r.t. the NDC offset dummy."""
+        weights = jnp.asarray(rng.normal(size=(3, camera.height, camera.width)), jnp.float32)
+
+        def loss(offset, method, interpret=False):
+            out = render(
+                scene, camera, BG, mean2d_offset=offset, method=method, interpret=interpret
+            )
+            return (out.render * weights).sum()
+
+        zeros = jnp.zeros((scene.capacity, 2), jnp.float32)
+        g_ref = jax.grad(lambda o: loss(o, "reference"))(zeros)
+        g_tile = jax.grad(lambda o: loss(o, "tiled", True))(zeros)
+        scale = np.abs(np.asarray(g_ref)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(g_tile) / scale, np.asarray(g_ref) / scale, atol=5e-5
+        )
+        assert scale > 1e-3
+
+
+class TestCounting:
+    def test_counts_match_oracle(self, scene, camera):
+        out_ref = count_render(scene, camera, BG, method="reference")
+        out_tile = count_render(scene, camera, BG, method="tiled", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_tile.important_score),
+            np.asarray(out_ref.important_score),
+            atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_tile.gaussians_count), np.asarray(out_ref.gaussians_count)
+        )
+        # image from counting kernel matches plain forward
+        plain = render(scene, camera, BG, method="tiled", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_tile.render), np.asarray(plain.render), atol=1e-6
+        )
+
+    def test_counts_nontrivial(self, scene, camera):
+        out = count_render(scene, camera, BG, method="reference")
+        assert int(np.asarray(out.gaussians_count).sum()) > 1000
+        assert float(np.asarray(out.important_score).sum()) > 1.0
