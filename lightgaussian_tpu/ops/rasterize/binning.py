@@ -80,12 +80,45 @@ class Binning:
     128-instance chunk belongs to exactly one tile (chunk-granular kernel
     writes never touch another tile's data). Padding slots have zero features
     (alpha == 0) and sentinel gauss id == N.
+
+    `pre_pos`/`pre_gauss` map *pre-sort* instance slots (which are grouped by
+    source Gaussian, ids ascending) to padded buffer positions — this lets the
+    backward reduce per-instance gradients with a sorted-indices segment-sum
+    (fast path) instead of an unsorted scatter-add.
     """
 
     inst_chunks: jnp.ndarray  # [CAP/128, FEAT_WIDTH, 128] f32
     inst_gauss: jnp.ndarray  # [CAP] int32 source Gaussian id (N = padding)
+    pre_pos: jnp.ndarray  # [M_max] int32 pre-sort slot -> padded position (CAP = dead)
+    gauss_cum: jnp.ndarray  # [N] int32 inclusive cumsum of per-Gaussian tile counts
     tile_starts: jnp.ndarray  # [T+1] int32, every entry a multiple of 128
     total: jnp.ndarray  # scalar int32: true live instances (overflow monitor)
+
+
+def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
+    """Sum pre-sort-ordered per-instance rows into per-Gaussian rows.
+
+    Pre-sort instance slots of one Gaussian are contiguous ([cum-count, cum)),
+    so the reduction is a two-level cumulative sum + boundary differences —
+    ~10ms where XLA's scatter-add segment-sum takes ~250ms on 4M rows. The
+    block level keeps f32 prefix error local (running totals reset per block).
+    """
+    m, f = values.shape
+    nb = -(-m // block)
+    pad = nb * block - m
+    if pad:
+        values = jnp.pad(values, ((0, pad), (0, 0)))
+    xb = values.reshape(nb, block, f)
+    within = jnp.cumsum(xb, axis=1)
+    block_tot = within[:, -1]
+    block_prefix = jnp.cumsum(block_tot, axis=0) - block_tot
+    cs = (within + block_prefix[:, None, :]).reshape(nb * block, f)
+    cs0 = jnp.concatenate([jnp.zeros((1, f), values.dtype), cs])
+    hi = jnp.minimum(gauss_cum, m)
+    lo = jnp.minimum(
+        jnp.concatenate([jnp.zeros((1,), gauss_cum.dtype), gauss_cum[:-1]]), m
+    )
+    return cs0[hi] - cs0[lo]
 
 
 def instance_capacity(max_instances: int, grid: TileGrid) -> int:
@@ -105,6 +138,20 @@ def pack_features(splats: Splats) -> jnp.ndarray:
     return feat
 
 
+def sort_key_bits(grid: TileGrid) -> int:
+    """Bits of the packed (tile | depth) sort key used for depth ordering.
+
+    The CUDA reference radix-sorts a 64-bit (tileID << 32 | float-bits) key; a
+    single 32-bit key sorts ~an order of magnitude faster on TPU, so we keep
+    the full tile id and the top (32 - tile_bits) bits of the positive-float
+    depth (monotone in the float value). At 1080p that is 21 depth bits =
+    2^-13 relative depth resolution; blending order can only flip between
+    Gaussians closer than that, which is visually nil and still deterministic.
+    """
+    tile_bits = max(int(grid.num_tiles + 1).bit_length(), 1)
+    return 32 - tile_bits
+
+
 def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: int = TILE_SIZE) -> Binning:
     n = splats.mean2d.shape[0]
     cap = instance_capacity(max_instances, grid)
@@ -112,24 +159,50 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
 
     cum = jnp.cumsum(count)
     total = cum[-1]
+    offsets = cum - count
 
-    # Instance slot -> source Gaussian via searchsorted on the inclusive cumsum.
+    # Instance slot -> source Gaussian: scatter each Gaussian's index at its
+    # first slot, then forward-fill with a running max. (With ascending ids, a
+    # zero-count Gaussian colliding at the same offset loses the max to the
+    # owning one, or harmlessly wins when the owner precedes it.)
     slots = jnp.arange(max_instances, dtype=jnp.int32)
-    gid = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    marks = jnp.full((max_instances,), -1, jnp.int32)
+    marks = marks.at[jnp.where(count > 0, offsets, max_instances)].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    gid = jax.lax.cummax(marks, axis=0)
     live = slots < total
-    gid_c = jnp.minimum(gid, n - 1)
+    gid_c = jnp.clip(gid, 0, n - 1)
 
-    local = slots - (cum[gid_c] - count[gid_c])
-    rect_w = jnp.maximum(hi_x[gid_c] - lo_x[gid_c], 1)
+    # One packed row-gather for all per-Gaussian metadata (offset fits f32
+    # exactly below 2^24; gather rows, not 6 scalar gathers).
+    meta = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            lo_x.astype(jnp.float32),
+            lo_y.astype(jnp.float32),
+            jnp.maximum(hi_x - lo_x, 1).astype(jnp.float32),
+            splats.depth,
+        ],
+        axis=1,
+    )  # [N, 5]
+    m = meta[gid_c]
+    local = slots - m[:, 0].astype(jnp.int32)
+    rect_w = m[:, 3].astype(jnp.int32)
     dx = local % rect_w
     dy = local // rect_w
-    tile = (lo_y[gid_c] + dy) * grid.tiles_x + (lo_x[gid_c] + dx)
-    tile = jnp.where(live, tile, grid.num_tiles).astype(jnp.int32)
-    depth = jnp.where(live, splats.depth[gid_c], jnp.inf).astype(jnp.float32)
+    tile = (m[:, 2].astype(jnp.int32) + dy) * grid.tiles_x + (m[:, 1].astype(jnp.int32) + dx)
+    tile = jnp.where(live, tile, grid.num_tiles)
 
-    tile_s, _depth_s, gid_s = jax.lax.sort(
-        (tile, depth, jnp.where(live, gid_c, n).astype(jnp.int32)), num_keys=2
-    )
+    # Pack (tile, depth) into one u32 key: fast single-key sort.
+    depth_bits = sort_key_bits(grid)
+    dep_u = jax.lax.bitcast_convert_type(m[:, 4], jnp.uint32) >> (32 - depth_bits)
+    dep_u = jnp.where(live, dep_u, jnp.uint32((1 << depth_bits) - 1))
+    key = (tile.astype(jnp.uint32) << depth_bits) | dep_u
+    gid_tagged = jnp.where(live, gid_c, n).astype(jnp.int32)
+
+    key_s, gid_s, inv_s = jax.lax.sort((key, gid_tagged, slots), num_keys=1)
+    tile_s = (key_s >> depth_bits).astype(jnp.int32)
 
     # True per-tile ranges in the sorted order, then chunk-aligned ranges.
     raw_starts = jnp.searchsorted(
@@ -141,22 +214,37 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )
 
-    # Scatter sorted instances to their padded positions (drop on overflow).
-    tile_sc = jnp.minimum(tile_s, grid.num_tiles - 1)
-    pos = tile_starts[tile_sc] + (slots - raw_starts[tile_sc])
-    pos = jnp.where(live & (tile_s < grid.num_tiles), pos, cap)
+    # Padded positions are ascending and unique over live sorted slots.
+    # One fused per-tile delta table => a single [M] gather instead of two.
+    delta = jnp.concatenate(
+        [tile_starts[:-1] - raw_starts[:-1], jnp.full((1,), cap, jnp.int32)]
+    )
+    tile_sc = jnp.minimum(tile_s, grid.num_tiles)
+    pos = delta[tile_sc] + jnp.where(tile_s < grid.num_tiles, slots, 0)
+    pos = jnp.minimum(pos, cap)
 
-    feat = pack_features(splats)
-    inst_feat = feat[jnp.minimum(gid_s, n - 1)]
-    inst_feat = jnp.where((gid_s < n)[:, None], inst_feat, 0.0)
-    flat = jnp.zeros((cap, FEAT_WIDTH), jnp.float32).at[pos].set(inst_feat, mode="drop")
-    inst_gauss = jnp.full((cap,), n, jnp.int32).at[pos].set(gid_s, mode="drop")
+    # Only the int32 gid is scattered (XLA multi-column f32 scatters are ~20x
+    # slower); features are then row-GATHERED by gid, with sentinel id == n
+    # hitting an appended all-zero row (inert padding instances).
+    inst_gauss = jnp.full((cap,), n, jnp.int32).at[pos].set(
+        gid_s, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    # pre-sort slot -> padded position (scatter pos back through the sort perm).
+    pre_pos = jnp.full((max_instances,), cap, jnp.int32).at[inv_s].set(
+        pos, mode="drop", unique_indices=True
+    )
 
+    feat = jnp.concatenate(
+        [pack_features(splats), jnp.zeros((1, FEAT_WIDTH), jnp.float32)]
+    )
+    flat = feat[inst_gauss]
     inst_chunks = flat.reshape(cap // INST_CHUNK, INST_CHUNK, FEAT_WIDTH).transpose(0, 2, 1)
 
     return Binning(
         inst_chunks=inst_chunks,
         inst_gauss=inst_gauss,
+        pre_pos=pre_pos,
+        gauss_cum=cum.astype(jnp.int32),
         tile_starts=tile_starts,
         total=total,
     )
