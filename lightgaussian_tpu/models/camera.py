@@ -81,6 +81,12 @@ class Camera:
     tan_fovy: jnp.ndarray  # scalar
     width: int = dataclasses.field(metadata=dict(static=True))
     height: int = dataclasses.field(metadata=dict(static=True))
+    # Optional ground-truth image [3, H, W] (clamped to [0,1], alpha-masked),
+    # like the reference Camera's original_image (`scene/cameras.py:53-62`).
+    gt_image: Any = None
+
+    def with_gt(self, img: jnp.ndarray) -> "Camera":
+        return dataclasses.replace(self, gt_image=jnp.asarray(img, jnp.float32))
 
     @property
     def focal_x(self) -> jnp.ndarray:

@@ -1,0 +1,158 @@
+"""End-to-end training stack tests on a tiny synthetic scene (CPU, interpret
+kernels): optimization drives loss down; densify/prune/reset passes keep the
+fixed-capacity invariants; GSS pruning removes the least important Gaussians."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightgaussian_tpu.config import OptimizationParams
+from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.ops.rasterize import render
+from lightgaussian_tpu.train import densify, gss
+from lightgaussian_tpu.train.state import init_train_state, grow_capacity
+from lightgaussian_tpu.train.step import make_train_step
+from lightgaussian_tpu.utils.synthetic import random_scene
+
+BG = jnp.zeros((3,), jnp.float32)
+MAX_INST = 1 << 14
+
+
+def make_cams(n=3, width=64, height=64):
+    cams = []
+    for i in range(n):
+        ang = i * 0.5
+        eye = [3.0 * np.sin(ang), 0.4, -3.0 * np.cos(ang)]
+        cams.append(Camera.look_at(eye=eye, target=[0, 0, 0], width=width, height=height))
+    return cams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    target_scene = random_scene(n=48, seed=3, max_sh_degree=1, scale_range=(0.05, 0.15))
+    cams = make_cams()
+    cams = [
+        c.with_gt(
+            jnp.clip(
+                render(target_scene, c, BG, method="tiled", interpret=True, max_instances=MAX_INST).render,
+                0.0,
+                1.0,
+            )
+        )
+        for c in cams
+    ]
+    # student: same means slightly perturbed, re-randomized appearance
+    student = random_scene(n=48, seed=4, max_sh_degree=1, scale_range=(0.05, 0.15), capacity=128)
+    student = dataclasses.replace(
+        student, means=student.means.at[:48].set(target_scene.means[:48] + 0.05)
+    )
+    return target_scene, student, cams
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, setup):
+        _, student, cams = setup
+        opt = OptimizationParams(position_lr_init=0.005, position_lr_final=0.0005)
+        step = make_train_step(opt, spatial_lr_scale=1.0, max_instances=MAX_INST, interpret=True)
+        state = init_train_state(student)
+        first = last = None
+        for i in range(20):
+            cam = cams[i % len(cams)]
+            state, m = step(state, cam, BG)
+            if first is None:
+                first = float(m.loss)
+            last = float(m.loss)
+        assert last < first * 0.8, (first, last)
+        assert int(state.step) == 20
+        # densification stats accumulated
+        assert float(state.denom.max()) > 0
+        assert float(state.xyz_grad_accum.max()) > 0
+
+    def test_frozen_fields(self, setup):
+        _, student, cams = setup
+        opt = OptimizationParams()
+        step = make_train_step(
+            opt, 1.0, MAX_INST, interpret=True,
+            frozen_fields=("log_scales", "quats", "opacity_logits"),
+        )
+        state = init_train_state(student)
+        s2, _ = step(state, cams[0], BG)
+        np.testing.assert_array_equal(s2.scene.log_scales, state.scene.log_scales)
+        np.testing.assert_array_equal(s2.scene.quats, state.scene.quats)
+        assert not np.array_equal(s2.scene.means, state.scene.means)
+
+
+class TestDensify:
+    def test_densify_and_prune_invariants(self, setup):
+        _, student, cams = setup
+        opt = OptimizationParams(densify_grad_threshold=1e-7)
+        step = make_train_step(opt, 1.0, MAX_INST, interpret=True)
+        state = init_train_state(student)
+        for i in range(5):
+            state, _ = step(state, cams[i % len(cams)], BG)
+        n0 = int(state.scene.num_alive())
+        state2, report = jax.jit(
+            lambda s, k: densify.densify_and_prune(s, 1e-7, 0.005, 1.0, 0, opt.percent_dense, k)
+        )(state, jax.random.key(0))
+        n1 = int(state2.scene.num_alive())
+        assert int(report.n_cloned) + int(report.n_split) > 0
+        assert n1 == int(report.n_alive)
+        assert n1 > n0 - int(report.n_pruned)
+        # stats reset
+        assert float(state2.xyz_grad_accum.max()) == 0.0
+        # moments zeroed on touched slots: newly alive slots have zero mu
+        newly = np.asarray(state2.scene.alive) & ~np.asarray(state.scene.alive)
+        if newly.any():
+            assert np.abs(np.asarray(state2.opt.mu["means"])[newly]).max() == 0.0
+
+    def test_capacity_overflow_drops(self, setup):
+        _, student, cams = setup
+        opt = OptimizationParams()
+        step = make_train_step(opt, 1.0, MAX_INST, interpret=True)
+        state = init_train_state(student)
+        state, _ = step(state, cams[0], BG)
+        # capacity 128, 48 alive, force everything hot -> clones want 48+ slots
+        state = dataclasses.replace(
+            state,
+            xyz_grad_accum=jnp.full((128,), 1.0),
+            denom=jnp.ones((128,)),
+        )
+        state2, report = densify.densify_and_prune(
+            state, 1e-9, 0.005, 1.0, 0, 100.0, jax.random.key(1)
+        )
+        # percent_dense=100 -> all small -> all clones; 80 free slots, 48 wanted -> fits
+        assert int(report.n_dropped) == 0
+        state3 = grow_capacity(state2, 256)
+        assert state3.scene.capacity == 256
+        assert int(state3.scene.num_alive()) == int(state2.scene.num_alive())
+
+    def test_reset_opacity(self, setup):
+        _, student, _ = setup
+        state = init_train_state(student)
+        state2 = densify.reset_opacity(state)
+        opa = np.asarray(state2.scene.opacities)[np.asarray(state2.scene.alive)]
+        assert (opa <= 0.0101).all()
+        assert np.abs(np.asarray(state2.opt.mu["opacity_logits"])).max() == 0.0
+
+
+class TestGSS:
+    def test_gss_prune(self, setup):
+        target, _, cams = setup
+        scene = random_scene(n=48, seed=3, max_sh_degree=1, scale_range=(0.05, 0.15), capacity=64)
+        counts, imp = gss.accumulate_gss(scene, cams, BG, MAX_INST, interpret=True)
+        assert int(np.asarray(counts).sum()) > 0
+        v = gss.calculate_v_imp_score(scene, imp, v_pow=0.1)
+        assert float(np.asarray(v)[np.asarray(scene.alive)].max()) > 0
+        keep = gss.percentile_keep_mask(scene, v, jnp.float32(0.5))
+        n_alive = int(scene.num_alive())
+        n_keep = int((np.asarray(keep) & np.asarray(scene.alive)).sum())
+        assert n_keep < n_alive
+        assert n_keep >= int(0.3 * n_alive)
+        # pruned ones have lower score than kept ones
+        va = np.asarray(v)
+        alive = np.asarray(scene.alive)
+        kept_min = va[alive & np.asarray(keep)].min()
+        dropped_max = va[alive & ~np.asarray(keep)].max()
+        assert dropped_max <= kept_min
