@@ -1,0 +1,121 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (conftest sets
+XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+Checks that the (data, space)-sharded train step is numerically equivalent to
+sequential single-chip steps over the same camera batch (grads are pmean'd over
+cameras, so the single-chip oracle averages grads before one Adam update)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightgaussian_tpu.config import OptimizationParams
+from lightgaussian_tpu.models.camera import Camera, stack_cameras
+from lightgaussian_tpu.ops import losses
+from lightgaussian_tpu.ops.rasterize import render
+from lightgaussian_tpu.parallel import make_mesh, make_parallel_train_step
+from lightgaussian_tpu.train import optim
+from lightgaussian_tpu.train.state import init_train_state
+from lightgaussian_tpu.utils.synthetic import default_camera, random_scene
+
+H, W = 64, 96
+MAX_INST = 8192
+
+
+def _make_batch(n_cams, with_gt=True):
+    scene = random_scene(n=128, seed=3, capacity=256)
+    bg = jnp.zeros((3,), jnp.float32)
+    cams = []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        cam = Camera.look_at(
+            eye=[3.5 * np.sin(ang), -0.3, -3.5 * np.cos(ang)],
+            target=[0, 0, 0], width=W, height=H,
+        )
+        if with_gt:
+            gt = render(scene, cam, bg, max_instances=MAX_INST, interpret=True).render
+            cam = cam.with_gt(jnp.clip(gt, 0, 1))
+        cams.append(cam)
+    return scene, cams, bg
+
+
+def _oracle_step(state, cams, bg, opt_cfg):
+    """Single-device reference: average grads over the camera batch, one Adam
+    update (what the sharded step computes with pmean over 'data')."""
+    lr_fns = optim.make_lr_fns(opt_cfg, 1.0)
+
+    def loss_fn(params):
+        s = state.scene.with_params(params)
+        total = 0.0
+        for cam in cams:
+            out = render(s, cam, bg, max_instances=MAX_INST, interpret=True)
+            l1 = losses.l1_loss(out.render, cam.gt_image)
+            ssim_v = losses.ssim(out.render, cam.gt_image)
+            total += (1 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1 - ssim_v)
+        return total / len(cams)
+
+    grads = jax.grad(loss_fn)(state.scene.params())
+    new_params, new_opt = optim.adam_update(
+        state.scene.params(), grads, state.opt, lr_fns, state.step,
+        state.scene.alive, 1.0,
+    )
+    return new_params
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (8, 1), (1, 2)])
+def test_parallel_step_matches_sequential(mesh_shape):
+    data, space = mesh_shape
+    student = random_scene(n=96, seed=7, capacity=128)
+    gt_scene, cams, bg = _make_batch(data)
+    batch = stack_cameras(cams)
+    opt_cfg = OptimizationParams()
+
+    mesh = make_mesh(data=data, space=space)
+    step = make_parallel_train_step(
+        opt_cfg, 1.0, max_instances=MAX_INST, mesh=mesh, image_height=H,
+        interpret=True,
+    )
+    state = init_train_state(student)
+    new_state, metrics = step(state, batch, bg)
+
+    ref_params = _oracle_step(init_train_state(student), cams, bg, opt_cfg)
+    got = new_state.scene.params()
+    for k in ref_params:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref_params[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"param {k} mismatch for mesh {mesh_shape}",
+        )
+    assert jnp.isfinite(metrics.loss)
+    assert int(new_state.step) == 1
+
+
+def test_parallel_loss_decreases_over_steps():
+    data, space = 4, 2
+    student = random_scene(n=96, seed=11, capacity=128)
+    _, cams, bg = _make_batch(data)
+    batch = stack_cameras(cams)
+    mesh = make_mesh(data=data, space=space)
+    step = make_parallel_train_step(
+        OptimizationParams(), 1.0, max_instances=MAX_INST, mesh=mesh,
+        image_height=H, interpret=True,
+    )
+    state = init_train_state(student)
+    first = last = None
+    for _ in range(10):
+        state, m = step(state, batch, bg)
+        if first is None:
+            first = float(m.loss)
+        last = float(m.loss)
+    assert last < first
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    img = jax.jit(fn)(*args)
+    assert img.shape == (3, 256, 256)
+    assert bool(jnp.isfinite(img).all())
+    ge.dryrun_multichip(8)
