@@ -1,0 +1,83 @@
+"""CLI: full 3D-GS training with densification and in-training GSS pruning.
+
+TPU build of `/root/reference/train_densify_prune.py:228-278` — same flags and
+defaults (prune_iterations [16000, 24000], decayed percent, imp_score export
+at the last checkpoint).
+
+Usage: python -m lightgaussian_tpu.cli.train_densify_prune -s <scene> -m <out>
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from lightgaussian_tpu.cli import common
+from lightgaussian_tpu.config import TrainConfig
+from lightgaussian_tpu.data.scene import Scene
+from lightgaussian_tpu.train import loop
+from lightgaussian_tpu.utils.general import safe_state
+from lightgaussian_tpu.utils.logging import MetricsLogger, prepare_output_dir
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Training with densify + GSS prune")
+    common.add_standard_groups(parser)
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[30_000])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--prune_iterations", nargs="+", type=int, default=[16_000, 24_000])
+    parser.add_argument("--prune_percent", type=float, default=0.5)
+    parser.add_argument("--prune_decay", type=float, default=0.6)
+    parser.add_argument("--v_pow", type=float, default=0.1)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--interpret", action="store_true", default=None)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    model, pipeline, opt = common.extract_standard(args)
+    cfg = TrainConfig(
+        model=model, pipeline=pipeline, opt=opt,
+        test_iterations=args.test_iterations,
+        save_iterations=args.save_iterations,
+        checkpoint_iterations=args.checkpoint_iterations,
+        start_checkpoint=args.start_checkpoint,
+        prune_iterations=args.prune_iterations,
+        prune_percent=args.prune_percent,
+        prune_decay=args.prune_decay,
+        v_pow=args.v_pow,
+        seed=args.seed,
+    )
+    safe_state(args.quiet, seed=args.seed)
+    interpret = common.interpret_default() if args.interpret is None else args.interpret
+
+    out = prepare_output_dir(model.model_path, cfg)
+    scene = Scene(
+        model.source_path, out, images_dir=model.images,
+        white_background=model.white_background, eval_split=model.eval,
+        resolution=model.resolution, seed=args.seed,
+    )
+    bg = jnp.ones(3) if model.white_background else jnp.zeros(3)
+
+    state, first_iter = None, 0
+    if cfg.start_checkpoint:
+        from lightgaussian_tpu.train.checkpoint import load_checkpoint
+
+        state, first_iter, _ = load_checkpoint(cfg.start_checkpoint)
+        print(f"Resumed from {cfg.start_checkpoint} at iteration {first_iter}")
+
+    logger = MetricsLogger(out)
+    loop.train(
+        scene, cfg, bg, state=state, first_iter=first_iter,
+        densify=True, interpret=interpret, logger=logger, seed=args.seed,
+    )
+    logger.close()
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

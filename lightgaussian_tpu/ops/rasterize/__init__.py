@@ -1,1 +1,6 @@
-from lightgaussian_tpu.ops.rasterize.api import render, count_render, RenderOutput  # noqa: F401
+from lightgaussian_tpu.ops.rasterize.api import (  # noqa: F401
+    RenderOutput,
+    count_render,
+    default_max_instances,
+    render,
+)

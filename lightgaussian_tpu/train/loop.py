@@ -1,0 +1,187 @@
+"""Host-side training orchestration: the iteration loop shared by the
+train/finetune CLIs.
+
+Reproduces the control flow of `/root/reference/train_densify_prune.py:43-225`
+and `prune_finetune.py:55-289` around the jitted `train_step`: SH-degree
+schedule, shuffled camera sampling, densify/prune/opacity-reset on schedule,
+GSS pruning at given iterations with decayed percent, test-iteration reports,
+PLY saves, checkpoints, and `imp_score.npz` export. The hot path stays on
+device; this module only decides *when* to run which jitted pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+import random as pyrandom
+import time
+from pathlib import Path
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightgaussian_tpu.config import OptimizationParams, TrainConfig
+from lightgaussian_tpu.data.scene import Scene
+from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.train import checkpoint as ckpt_mod
+from lightgaussian_tpu.train import densify as densify_mod
+from lightgaussian_tpu.train import gss
+from lightgaussian_tpu.train.state import TrainState, init_train_state
+from lightgaussian_tpu.train.step import make_eval_render, make_train_step
+from lightgaussian_tpu.utils.logging import MetricsLogger, StepTimer, training_report
+from lightgaussian_tpu.ops.rasterize import default_max_instances
+
+
+@dataclasses.dataclass
+class LoopCallbacks:
+    """Optional hooks (viewer GUI, custom logging)."""
+
+    on_iteration: Callable | None = None  # (iteration, state, metrics) -> None
+
+
+def save_imp_score(path: str | Path, scene, v_imp: np.ndarray) -> None:
+    """`imp_score.npz` (`train_densify_prune.py:222-225`,
+    `utils/save_imp_score.py:36-57`): capacity-aligned array under the key
+    the reference uses."""
+    np.savez(Path(path), np.asarray(v_imp))
+
+
+def gss_prune(
+    state: TrainState,
+    cameras: Sequence[Camera],
+    bg,
+    percent: float,
+    v_pow: float,
+    max_instances: int,
+    interpret: bool = False,
+    prune_type: str = "v_important_score",
+) -> tuple[TrainState, np.ndarray]:
+    """One GSS pruning pass: accumulate scores over ALL train cameras, rank by
+    `prune_type` (`prune_finetune.py:213-270`), drop the bottom `percent`."""
+    counts, imp = gss.accumulate_gss(state.scene, cameras, bg, max_instances, interpret)
+    v_imp = gss.calculate_v_imp_score(state.scene, imp, v_pow)
+    scores = {
+        "important_score": imp,
+        "v_important_score": v_imp,
+        "max_v_important_score": v_imp,
+        "count": counts.astype(jnp.float32),
+        "opacity": state.scene.opacities,
+    }[prune_type]
+    keep = gss.percentile_keep_mask(state.scene, scores, jnp.float32(percent))
+    return densify_mod.prune_by_mask(state, keep), np.asarray(v_imp)
+
+
+def train(
+    scene: Scene,
+    cfg: TrainConfig,
+    bg: jnp.ndarray,
+    state: TrainState | None = None,
+    first_iter: int = 0,
+    max_instances: int | None = None,
+    densify: bool = True,
+    lr_mult_fn=None,
+    sh_degree_interval: int | None = 1000,
+    interpret: bool = False,
+    callbacks: LoopCallbacks | None = None,
+    logger: MetricsLogger | None = None,
+    seed: int = 0,
+    prune_type: str = "v_important_score",
+) -> TrainState:
+    """Run the training loop; returns the final state.
+
+    With `densify=True` this is `train_densify_prune.py`; with `densify=False`
+    plus `lr_mult_fn` it is the finetune loop of `prune_finetune.py`.
+    """
+    opt: OptimizationParams = cfg.opt
+    cams = scene.getTrainCameras()
+    test_cams = scene.getTestCameras()
+    if state is None:
+        state = init_train_state(scene.gaussians)
+    if max_instances is None:
+        max_instances = default_max_instances(state.scene, cams[0])
+
+    step_fn = make_train_step(
+        opt, scene.cameras_extent, max_instances,
+        lr_mult_fn=lr_mult_fn, update_densify_stats=densify, interpret=interpret,
+    )
+    eval_fn = make_eval_render(max_instances, interpret=interpret)
+    logger = logger or MetricsLogger(scene.model_path)
+    timer = StepTimer()
+    rng = pyrandom.Random(seed)
+    key = jax.random.PRNGKey(seed)
+
+    camera_stack: list[Camera] = []
+    ema_loss = 0.0
+    model_path = Path(scene.model_path)
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        timer.start()
+
+        if sh_degree_interval and iteration % sh_degree_interval == 0:
+            state = dataclasses.replace(state, scene=state.scene.one_up_sh_degree())
+
+        if not camera_stack:
+            camera_stack = list(cams)
+        cam = camera_stack.pop(rng.randrange(len(camera_stack)))
+
+        state, metrics = step_fn(state, cam, bg)
+        loss = float(metrics.loss)
+        jax.block_until_ready(state.scene.means)
+        elapsed = timer.stop()
+
+        ema_loss = 0.4 * loss + 0.6 * ema_loss if iteration > first_iter + 1 else loss
+        if iteration % 100 == 0:
+            print(
+                f"[{iteration}/{opt.iterations}] loss={ema_loss:.5f} "
+                f"alive={int(state.scene.num_alive())} {1.0/max(elapsed,1e-9):.1f} it/s"
+            )
+        logger.scalar("train_loss_patches/total_loss", loss, iteration)
+
+        # densification window (train_densify_prune.py:168-207)
+        if densify and iteration < opt.densify_until_iter:
+            if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
+                size_thresh = 20 if iteration > opt.opacity_reset_interval else 0
+                key, sub = jax.random.split(key)
+                state, report = densify_mod.densify_and_prune(
+                    state, opt.densify_grad_threshold, 0.005, scene.cameras_extent,
+                    size_thresh, opt.percent_dense, sub,
+                )
+            if iteration % opt.opacity_reset_interval == 0:
+                state = densify_mod.reset_opacity(state)
+
+        # in-training GSS prune (train_densify_prune.py:198-205)
+        if iteration in cfg.prune_iterations:
+            i = cfg.prune_iterations.index(iteration)
+            percent = cfg.prune_percent * (cfg.prune_decay**i)
+            print(f"[{iteration}] GSS prune {percent:.2%} (pass {i})")
+            before = int(state.scene.num_alive())
+            state, v_imp = gss_prune(
+                state, cams, bg, percent, cfg.v_pow, max_instances, interpret,
+                prune_type=prune_type,
+            )
+            print(f"  {before} -> {int(state.scene.num_alive())} gaussians")
+
+        if iteration in cfg.test_iterations:
+            training_report(
+                logger, iteration, state.scene, eval_fn, test_cams,
+                cams[: min(5, len(cams))], bg, timer.total,
+            )
+
+        if iteration in cfg.save_iterations:
+            print(f"[{iteration}] Saving point cloud")
+            scene.save(iteration, state.scene)
+
+        if iteration in cfg.checkpoint_iterations:
+            print(f"[{iteration}] Saving checkpoint")
+            ckpt_mod.save_checkpoint(
+                model_path / f"chkpnt{iteration}.npz", state, iteration, scene.cameras_extent
+            )
+            if iteration == max(cfg.checkpoint_iterations):
+                _, imp = gss.accumulate_gss(state.scene, cams, bg, max_instances, interpret)
+                v_imp = gss.calculate_v_imp_score(state.scene, imp, cfg.v_pow)
+                save_imp_score(model_path / "imp_score.npz", state.scene, np.asarray(v_imp))
+
+        if callbacks and callbacks.on_iteration:
+            callbacks.on_iteration(iteration, state, metrics)
+
+    return state

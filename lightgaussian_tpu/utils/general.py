@@ -60,3 +60,32 @@ def exponential_decay_every(gamma: float, every: int):
         return jnp.power(gamma, (step // every).astype(jnp.float32))
 
     return schedule
+
+
+def safe_state(quiet: bool = False, seed: int = 0):
+    """Deterministic run setup — the TPU analogue of the reference's
+    `safe_state` (`utils/general_utils.py:122-151`): seeds host RNGs and
+    timestamps stdout lines. Device RNG is explicit (jax.random keys), so
+    nothing to seed there."""
+    import builtins
+    import random as _random
+    import sys
+    from datetime import datetime
+
+    import numpy as _np
+
+    _random.seed(seed)
+    _np.random.seed(seed)
+
+    if not quiet:
+        orig_write = sys.stdout.write
+
+        def write(text):
+            if text.endswith("\n") and text != "\n":
+                ts = datetime.now().strftime("%d/%m %H:%M:%S")
+                text = text.replace("\n", f" [{ts}]\n")
+            return orig_write(text)
+
+        if not getattr(sys.stdout, "_lg_tpu_wrapped", False):
+            sys.stdout.write = write
+            sys.stdout._lg_tpu_wrapped = True

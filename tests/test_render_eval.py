@@ -1,0 +1,248 @@
+"""Tests for trajectory generation, batch rendering, metrics (incl. LPIPS),
+the metric.csv logger, and the SH distillation step."""
+import json
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from lightgaussian_tpu.config import OptimizationParams
+import lightgaussian_tpu.eval.lpips as lpips_mod
+import lightgaussian_tpu.eval.metrics as metrics_mod
+from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.ops.rasterize import render
+from lightgaussian_tpu.render import poses as pose_gen
+from lightgaussian_tpu.render import sets as render_sets
+from lightgaussian_tpu.train import distill
+from lightgaussian_tpu.train.state import init_train_state
+from lightgaussian_tpu.utils import logging as log_mod
+from lightgaussian_tpu.utils.synthetic import random_scene
+
+MAXI = 1 << 17
+
+
+def _ring_cameras(n=8, dist=2.5, width=64, height=48):
+    return [
+        Camera.look_at(
+            (dist * math.cos(t), 0.4, dist * math.sin(t)), (0, 0, 0),
+            fovx=0.9, width=width, height=height,
+        )
+        for t in np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Pose generation
+# ---------------------------------------------------------------------------
+
+def test_camera_Rt_roundtrip():
+    cam = Camera.look_at((1.0, 2.0, 3.0), (0, 0, 0), width=32, height=32)
+    R, T = pose_gen.camera_Rt(cam)
+    rebuilt = Camera.from_Rt(R, T, 0.9, 0.9, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(rebuilt.world_view), np.asarray(cam.world_view), atol=1e-5
+    )
+
+
+def test_ellipse_path_geometry():
+    cams = _ring_cameras(12)
+    w2cs = pose_gen.generate_ellipse_path(cams, n_frames=40)
+    assert len(w2cs) == 40
+    for w2c in w2cs[:5]:
+        R = w2c[:3, :3]
+        # like the reference, the PCA un-normalization leaves a uniform scale
+        # on the rotation block (harmless under perspective division); the
+        # normalized block must be orthonormal
+        s = np.linalg.det(R) ** (1.0 / 3.0)
+        Rn = R / s
+        np.testing.assert_allclose(Rn @ Rn.T, np.eye(3), atol=1e-5)
+        # camera center orbits within the training ring's ballpark
+        center = np.linalg.inv(w2c)[:3, 3]
+        assert 0.5 < np.linalg.norm(center) < 8.0
+
+
+def test_ellipse_path_frames_renderable():
+    cams = _ring_cameras(8)
+    scene = random_scene(n=100, seed=0, extent=0.8, scale_range=(0.03, 0.1))
+    w2cs = pose_gen.generate_ellipse_path(cams, n_frames=4)
+    frame = pose_gen.camera_from_w2c(w2cs[0], cams[0])
+    out = render(scene, frame, jnp.zeros(3), max_instances=MAXI, interpret=True)
+    assert float(out.render.max()) > 0.01  # scene is visible from path
+
+
+def test_spherical_path():
+    cams = _ring_cameras(8)
+    w2cs = pose_gen.generate_spherical_sample_path(cams, n=6)
+    assert len(w2cs) == 6
+    for w2c in w2cs:
+        R = w2c[:3, :3]
+        s = np.abs(np.linalg.det(R)) ** (1.0 / 3.0)
+        np.testing.assert_allclose((R / s) @ (R / s).T, np.eye(3), atol=1e-5)
+
+
+def test_spiral_path():
+    cams = _ring_cameras(8)
+    w2cs = pose_gen.generate_spiral_path(cams, bounds=np.array([1.0, 10.0]), n_frames=6)
+    assert w2cs.shape == (6, 4, 4)
+
+
+def test_gaussian_pose_jitter():
+    rng = np.random.default_rng(0)
+    cam = _ring_cameras(1)[0].with_gt(jnp.zeros((3, 48, 64)))
+    jit_cam = pose_gen.gaussian_pose(cam, rng)
+    # small perturbation: matrices close but not equal
+    d = np.abs(np.asarray(jit_cam.world_view) - np.asarray(cam.world_view)).max()
+    assert 1e-6 < d < 0.3
+    assert jit_cam.gt_image is not None
+    assert (jit_cam.width, jit_cam.height) == (cam.width, cam.height)
+
+
+def test_circular_pose_offsets_center():
+    cam = _ring_cameras(1)[0]
+    moved = pose_gen.circular_pose(cam, radius=0.5, angle=0.3)
+    d = np.linalg.norm(np.asarray(moved.camera_center) - np.asarray(cam.camera_center))
+    assert abs(d - 0.5) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# LPIPS + metrics
+# ---------------------------------------------------------------------------
+
+def test_lpips_basic_properties(rng):
+    params = lpips_mod.random_lpips_params(seed=0)
+    a = jnp.asarray(rng.random((3, 32, 32)), jnp.float32)
+    b = jnp.asarray(rng.random((3, 32, 32)), jnp.float32)
+    assert float(lpips_mod.lpips(params, a, a)) < 1e-10
+    assert float(lpips_mod.lpips(params, a, b)) > 1e-4
+    # more-similar pair scores lower
+    a_noisy = jnp.clip(a + 0.05 * jnp.asarray(rng.standard_normal((3, 32, 32))), 0, 1)
+    assert float(lpips_mod.lpips(params, a, a_noisy)) < float(lpips_mod.lpips(params, a, b))
+
+
+def test_lpips_weight_roundtrip(tmp_path, rng):
+    """convert_torch_lpips output must load and match the architecture."""
+    vgg_state, lin_state = {}, {}
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    c_in = 3
+    blocks = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+    flat = [c for c, n in blocks for _ in range(n)]
+    for lid, c_out in zip(conv_ids, flat):
+        vgg_state[f"{lid}.weight"] = rng.normal(size=(c_out, c_in, 3, 3)).astype(np.float32)
+        vgg_state[f"{lid}.bias"] = rng.normal(size=(c_out,)).astype(np.float32)
+        c_in = c_out
+    for s, (c, _) in enumerate(blocks):
+        lin_state[f"lin{s}.model.1.weight"] = rng.random((1, c, 1, 1)).astype(np.float32)
+    lpips_mod.convert_torch_lpips(vgg_state, lin_state, tmp_path / "w.npz")
+    params = lpips_mod.load_lpips_params(tmp_path / "w.npz")
+    assert params.kind == "vgg-pretrained"
+    a = jnp.asarray(rng.random((3, 16, 16)), jnp.float32)
+    assert float(lpips_mod.lpips(params, a, a)) < 1e-10
+
+
+def test_render_set_and_metrics(tmp_path):
+    scene = random_scene(n=150, seed=0, extent=0.8, scale_range=(0.03, 0.1))
+    bg = jnp.zeros(3)
+    cams = _ring_cameras(3)
+    # attach each camera's own render as gt -> metrics should be perfect
+    gt_cams = []
+    for c in cams:
+        img = render(scene, c, bg, max_instances=MAXI, interpret=True).render
+        gt_cams.append(c.with_gt(jnp.clip(img, 0, 1)))
+
+    base = render_sets.render_set(tmp_path, "test", 7, gt_cams, scene, bg, MAXI, interpret=True)
+    assert sorted(p.name for p in (base / "renders").iterdir()) == ["00000.png", "00001.png", "00002.png"]
+    means, per_view = metrics_mod.evaluate_method_dir(base)
+    assert means["PSNR"] > 45  # only 8-bit PNG quantization error
+    assert means["SSIM"] > 0.99
+    assert len(per_view["PSNR"]) == 3
+
+    results = metrics_mod.evaluate_model_paths([tmp_path])
+    assert (tmp_path / "results.json").exists()
+    saved = json.loads((tmp_path / "results.json").read_text())
+    assert "ours_7" in saved
+
+
+def test_render_trajectory_writes_frames(tmp_path):
+    scene = random_scene(n=100, seed=1, extent=0.8, scale_range=(0.03, 0.1))
+    cams = _ring_cameras(8)
+    base = render_sets.render_trajectory(
+        tmp_path, "ellipse", 3, cams, scene, jnp.zeros(3), MAXI, n_frames=4, interpret=True
+    )
+    assert len(list(base.iterdir())) == 4
+
+
+# ---------------------------------------------------------------------------
+# Logging
+# ---------------------------------------------------------------------------
+
+def test_metrics_logger_csv(tmp_path):
+    logger = log_mod.MetricsLogger(tmp_path, enable_tensorboard=False)
+    logger.csv_row(100, "test", 0.05, 25.0, 0.9, 0.1, 12.5, 60.0)
+    logger.csv_row(200, "train", 0.04, 26.0, 0.91, 0.09, 12.5, 120.0)
+    rows = (tmp_path / "metric.csv").read_text().strip().split("\n")
+    assert rows[0].split(",") == log_mod.CSV_FIELDS
+    assert len(rows) == 3
+    assert rows[1].startswith("100,test,0.05")
+
+
+def test_training_report(tmp_path):
+    scene = random_scene(n=100, seed=2, extent=0.8, scale_range=(0.03, 0.1))
+    bg = jnp.zeros(3)
+    cams = _ring_cameras(2)
+    gt_cams = [
+        c.with_gt(jnp.clip(render(scene, c, bg, max_instances=MAXI, interpret=True).render, 0, 1))
+        for c in cams
+    ]
+    from lightgaussian_tpu.train.step import make_eval_render
+
+    ev = make_eval_render(max_instances=MAXI, interpret=True)
+    logger = log_mod.MetricsLogger(tmp_path, enable_tensorboard=False)
+    results = log_mod.training_report(
+        logger, 50, scene, ev, gt_cams, gt_cams[:1], bg, elapsed_s=3.0
+    )
+    assert results["test"]["psnr"] > 40
+    rows = (tmp_path / "metric.csv").read_text().strip().split("\n")
+    assert len(rows) == 3  # header + test + train
+
+
+# ---------------------------------------------------------------------------
+# Distillation
+# ---------------------------------------------------------------------------
+
+def test_distill_truncates_and_improves():
+    import dataclasses
+
+    teacher = random_scene(n=200, seed=3, extent=0.8, scale_range=(0.03, 0.1), active_sh_degree=3)
+    # amplify view-dependent color so degree truncation visibly hurts
+    teacher = dataclasses.replace(teacher, sh_rest=teacher.sh_rest * 6.0)
+    student_scene = distill.init_student(teacher, new_sh_degree=2)
+    assert student_scene.max_sh_degree == 2
+    assert student_scene.sh_rest.shape[1] == 8
+
+    bg = jnp.zeros(3)
+    cams = _ring_cameras(4)
+    step = distill.make_distill_step(
+        OptimizationParams(), spatial_lr_scale=1.0, max_instances=MAXI, interpret=True
+    )
+    state = init_train_state(student_scene)
+    losses_seq = []
+    for i in range(16):
+        state, m = step(state, teacher, cams[i % 4], bg)
+        losses_seq.append(float(m.loss))
+    # same-camera-set epoch means: last epoch must beat the first
+    assert np.mean(losses_seq[-4:]) < np.mean(losses_seq[:4])
+
+    # frozen fields unchanged
+    for f in ("log_scales", "quats", "opacity_logits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state.scene, f)), np.asarray(getattr(student_scene, f))
+        )
+    # trained fields did move
+    assert np.abs(np.asarray(state.scene.sh_dc) - np.asarray(student_scene.sh_dc)).max() > 0
+
+
+def test_exponential_lr_mult():
+    fn = distill.exponential_lr_mult(0.9, 500)
+    assert float(fn(jnp.int32(0))) == 1.0
+    assert abs(float(fn(jnp.int32(500))) - 0.9) < 1e-6
+    assert abs(float(fn(jnp.int32(1500))) - 0.9**3) < 1e-6
