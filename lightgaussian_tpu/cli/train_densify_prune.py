@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prune_percent", type=float, default=0.5)
     parser.add_argument("--prune_decay", type=float, default=0.6)
     parser.add_argument("--v_pow", type=float, default=0.1)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--interpret", action="store_true", default=None)
@@ -70,11 +73,25 @@ def main(argv=None) -> None:
         state, first_iter, _ = load_checkpoint(cfg.start_checkpoint)
         print(f"Resumed from {cfg.start_checkpoint} at iteration {first_iter}")
 
+    gui = None
+    if not args.disable_viewer:
+        from lightgaussian_tpu.render.network_gui import NetworkGUI
+
+        gui = NetworkGUI()
+        try:
+            gui.init(args.ip, args.port)
+        except OSError as e:
+            print(f"[viewer] listener unavailable on {args.ip}:{args.port} ({e})")
+            gui = None
+
     logger = MetricsLogger(out)
     loop.train(
         scene, cfg, bg, state=state, first_iter=first_iter,
         densify=True, interpret=interpret, logger=logger, seed=args.seed,
+        gui=gui, gui_source_path=str(model.source_path),
     )
+    if gui is not None:
+        gui.close()
     logger.close()
     print("\nTraining complete.")
 

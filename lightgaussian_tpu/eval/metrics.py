@@ -55,16 +55,18 @@ def evaluate_method_dir(method_dir: str | Path, lpips_params=None) -> tuple[dict
     return means, per_view
 
 
-def evaluate_model_paths(model_paths: list[str | Path], lpips_weights=None) -> dict:
+def evaluate_model_paths(
+    model_paths: list[str | Path], lpips_weights=None, set_name: str = "test"
+) -> dict:
     """`metrics.evaluate` (`metrics.py:38-117`): per model dir, walk
-    test/ours_*, write results.json + per_view.json."""
+    <set_name>/ours_*, write results.json + per_view.json."""
     lpips_params = get_lpips_params(lpips_weights)
     all_results = {}
     for model_path in model_paths:
         model_path = Path(model_path)
         print(f"Scene: {model_path}")
         full, per_view_full = {}, {}
-        test_dir = model_path / "test"
+        test_dir = model_path / set_name
         for method_dir in sorted(test_dir.iterdir()):
             if not method_dir.name.startswith("ours_"):
                 continue

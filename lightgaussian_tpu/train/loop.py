@@ -86,6 +86,8 @@ def train(
     logger: MetricsLogger | None = None,
     seed: int = 0,
     prune_type: str = "v_important_score",
+    gui=None,
+    gui_source_path: str = "",
 ) -> TrainState:
     """Run the training loop; returns the final state.
 
@@ -114,7 +116,21 @@ def train(
     ema_loss = 0.0
     model_path = Path(scene.model_path)
 
+    gui_render = None
+    if gui is not None:
+        def gui_render(cam, scale_mod, _eval=eval_fn):
+            # live-viewer render at the viewer's requested pose/resolution
+            from lightgaussian_tpu.ops.rasterize import render as _render
+
+            return _render(
+                state.scene, cam, bg, scale_modifier=scale_mod,
+                max_instances=max_instances, interpret=interpret,
+            ).render
+
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if gui is not None:
+            gui.poll(gui_render, gui_source_path, iteration >= opt.iterations)
+
         timer.start()
 
         if sh_degree_interval and iteration % sh_degree_interval == 0:

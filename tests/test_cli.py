@@ -1,0 +1,178 @@
+"""End-to-end CLI smoke tests on a tiny on-disk Blender-format dataset.
+
+Covers the full driver surface: train_densify_prune, prune_finetune,
+distill_train, render_sets, render_video, metrics, save_imp_score, vectree,
+full_eval (metrics phase). Ground-truth images are renders of a known
+synthetic scene, so training must demonstrably improve test PSNR.
+"""
+import json
+import math
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightgaussian_tpu.data import ply as ply_io
+from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.ops.rasterize import render
+from lightgaussian_tpu.render.poses import camera_Rt
+from lightgaussian_tpu.utils.synthetic import random_scene
+
+SIZE = 40
+MAXI = 1 << 16
+
+
+def _write_blender_dataset(root: Path) -> None:
+    from PIL import Image
+
+    scene = random_scene(n=150, seed=7, extent=0.8, scale_range=(0.05, 0.13))
+    for split, n, phase in (("train", 6, 0.0), ("test", 2, 0.17)):
+        d = root / split
+        d.mkdir(parents=True, exist_ok=True)
+        frames = []
+        for i in range(n):
+            t = 2 * math.pi * i / n + phase
+            cam = Camera.look_at(
+                (2.5 * math.cos(t), 0.5, 2.5 * math.sin(t)), (0, 0, 0),
+                fovx=0.9, width=SIZE, height=SIZE,
+            )
+            img = render(scene, cam, jnp.zeros(3), max_instances=MAXI, interpret=True).render
+            arr = np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+            Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(d / f"r_{i}.png")
+            R, T = camera_Rt(cam)
+            w2c = np.eye(4)
+            w2c[:3, :3] = R.T
+            w2c[:3, 3] = T
+            c2w = np.linalg.inv(w2c)
+            c2w[:3, 1:3] *= -1  # Blender storage convention; reader undoes it
+            frames.append({"file_path": f"./{split}/r_{i}", "transform_matrix": c2w.tolist()})
+        (root / f"transforms_{split}.json").write_text(
+            json.dumps({"camera_angle_x": 0.9, "frames": frames})
+        )
+    rng = np.random.default_rng(0)
+    xyz = np.asarray(scene.means)[np.asarray(scene.alive)][:120] + rng.normal(0, 0.05, (120, 3))
+    ply_io.store_point_cloud(root / "points3d.ply", xyz, rng.random((120, 3)) * 255)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Shared dataset + one trained model the downstream CLI tests reuse."""
+    base = tmp_path_factory.mktemp("cli")
+    dataset = base / "scene"
+    model = base / "model"
+    _write_blender_dataset(dataset)
+
+    from lightgaussian_tpu.cli import train_densify_prune
+
+    train_densify_prune.main([
+        "-s", str(dataset), "-m", str(model), "--eval", "--quiet",
+        "--disable_viewer", "--iterations", "40",
+        "--densify_from_iter", "10", "--densification_interval", "15",
+        "--densify_until_iter", "30", "--opacity_reset_interval", "1000",
+        "--test_iterations", "1", "40",
+        "--save_iterations", "40",
+        "--checkpoint_iterations", "40",
+        "--prune_iterations", "35", "--prune_percent", "0.1",
+        "--position_lr_max_steps", "40",
+        "--seed", "0", "--interpret",
+    ])
+    return dataset, model
+
+
+def test_train_cli_artifacts_and_improvement(workspace):
+    _, model = workspace
+    for f in ["cfg_args.json", "cameras.json", "input.ply", "metric.csv",
+              "chkpnt40.npz", "imp_score.npz",
+              "point_cloud/iteration_40/point_cloud.ply"]:
+        assert (model / f).exists(), f"missing {f}"
+    import csv
+
+    test_rows = [r for r in csv.DictReader(open(model / "metric.csv")) if r["set"] == "test"]
+    assert float(test_rows[-1]["psnr"]) > float(test_rows[0]["psnr"])
+
+
+def test_render_and_metrics_cli(workspace):
+    dataset, model = workspace
+    from lightgaussian_tpu.cli import metrics as metrics_cli
+    from lightgaussian_tpu.cli import render_sets as render_cli
+
+    render_cli.main(["-s", str(dataset), "-m", str(model), "--eval", "--quiet",
+                     "--iteration", "-1", "--skip_train", "--interpret"])
+    out = model / "test" / "ours_40"
+    assert len(list((out / "renders").iterdir())) == 2
+    assert len(list((out / "gt").iterdir())) == 2
+
+    metrics_cli.main(["-m", str(model)])
+    results = json.loads((model / "results.json").read_text())
+    assert results["ours_40"]["PSNR"] > 15
+
+
+def test_render_video_cli(workspace):
+    dataset, model = workspace
+    from lightgaussian_tpu.cli import render_video
+
+    render_video.main(["-s", str(dataset), "-m", str(model), "--eval", "--quiet",
+                       "--iteration", "-1", "--skip_train", "--skip_test",
+                       "--video", "--n_frames", "3", "--interpret"])
+    assert len(list((model / "video" / "ours_40").iterdir())) == 3
+
+
+def test_save_imp_score_cli(workspace):
+    dataset, model = workspace
+    from lightgaussian_tpu.cli import save_imp_score
+
+    (model / "imp_score.npz").unlink()
+    save_imp_score.main(["-s", str(dataset), "-m", str(model), "--eval", "--quiet",
+                         "--start_checkpoint", str(model / "chkpnt40.npz"),
+                         "--show_imp_score", "--interpret"])
+    scores = np.load(model / "imp_score.npz")["arr_0"]
+    assert scores.ndim == 1 and np.isfinite(scores).all() and scores.max() > 0
+
+
+def test_vectree_cli(workspace, tmp_path):
+    _, model = workspace
+    from lightgaussian_tpu.cli import vectree as vectree_cli
+
+    vectree_cli.main([
+        "--important_score_npz_path", str(model),
+        "--input_path", str(model / "point_cloud/iteration_40/point_cloud.ply"),
+        "--save_path", str(tmp_path),
+        "--sh_degree", "3", "--iteration_num", "30",
+        "--codebook_size", "64", "--vq_ratio", "0.5",
+    ])
+    assert (tmp_path / "extreme_saving").is_dir()
+    assert (tmp_path / "extreme_saving.ply").exists()
+    deq = ply_io.load_gaussian_ply(tmp_path / "extreme_saving.ply")
+    orig = ply_io.load_gaussian_ply(model / "point_cloud/iteration_40/point_cloud.ply")
+    assert int(deq.num_alive()) == int(orig.num_alive())
+    # un-quantized attributes survive at fp16 precision
+    np.testing.assert_allclose(
+        np.asarray(deq.means)[np.asarray(deq.alive)],
+        np.asarray(orig.means)[np.asarray(orig.alive)], atol=1e-3,
+    )
+
+
+def test_full_eval_metrics_phase(workspace):
+    _, model = workspace
+    from lightgaussian_tpu.cli import full_eval
+
+    # metrics-only over existing model dirs
+    full_eval.main(["--skip_training", "--skip_rendering",
+                    "--output_path", str(model.parent)])
+    assert (model / "results.json").exists()
+
+
+def test_convert_pyramids(tmp_path):
+    from PIL import Image
+
+    from lightgaussian_tpu.cli import convert
+
+    (tmp_path / "images").mkdir()
+    arr = (np.random.default_rng(0).random((32, 48, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(tmp_path / "images" / "a.png")
+    convert.build_pyramids(tmp_path)
+    with Image.open(tmp_path / "images_2" / "a.png") as im:
+        assert im.size == (24, 16)
+    with Image.open(tmp_path / "images_8" / "a.png") as im:
+        assert im.size == (6, 4)
