@@ -15,6 +15,12 @@ import sys
 import time
 
 import jax
+
+# The remote-compile service takes ~10 min cold for the 1080p step; a
+# persistent cache makes reruns (and the driver's bench invocation) fast.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 import jax.numpy as jnp
 
 from lightgaussian_tpu.models.gaussians import GaussianScene

@@ -91,6 +91,12 @@ def _read(f, fmt: str):
 # Binary readers (colmap_loader.py:148-289)
 # ---------------------------------------------------------------------------
 
+def _native():
+    from lightgaussian_tpu import native
+
+    return native if native.available() else None
+
+
 def read_cameras_binary(path: str | Path) -> dict[int, ColmapCamera]:
     cams = {}
     with open(path, "rb") as f:
@@ -104,6 +110,14 @@ def read_cameras_binary(path: str | Path) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path: str | Path) -> dict[int, ColmapImage]:
+    nat = _native()
+    if nat is not None:
+        recs = nat.parse_images_bin(path)
+        if recs is not None:
+            return {
+                image_id: ColmapImage(image_id, qvec, tvec, camera_id, name, xys, ids)
+                for image_id, qvec, tvec, camera_id, name, xys, ids in recs
+            }
     images = {}
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
@@ -132,6 +146,11 @@ def read_images_binary(path: str | Path) -> dict[int, ColmapImage]:
 
 def read_points3D_binary(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (xyz [N,3] f64, rgb [N,3] u8, errors [N,1] f64)."""
+    nat = _native()
+    if nat is not None:
+        out = nat.parse_points3d_bin(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
         xyz = np.empty((num, 3))

@@ -123,7 +123,11 @@ def from_point_cloud(
     scene = empty_scene(cap, max_sh_degree)
 
     pts = jnp.asarray(points, jnp.float32)
-    dist2 = jnp.clip(knn.mean_sq_dist_to_3nn(pts), 1e-7, None)
+    # host (native C++) KNN: points arrive as host numpy here, and init-time
+    # device dispatch is wasteful on a remote-attached TPU
+    dist2 = jnp.clip(
+        jnp.asarray(knn.mean_sq_dist_to_3nn_host(np.asarray(points))), 1e-7, None
+    )
     log_scale = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
     sh_dc = sh_ops.rgb_to_sh(jnp.asarray(colors, jnp.float32))
     opacity_logit = float(np.log(initial_opacity / (1.0 - initial_opacity)))

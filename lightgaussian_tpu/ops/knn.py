@@ -88,3 +88,16 @@ def mean_sq_dist_to_3nn_exact(points: jnp.ndarray) -> jnp.ndarray:
     d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
     smallest3 = -jax.lax.top_k(-d2, 3)[0]
     return smallest3.mean(axis=-1)
+
+
+def mean_sq_dist_to_3nn_host(points: np.ndarray, window: int = 24) -> np.ndarray:
+    """Host-side entry for initialization-time use: the native C++ path
+    (`native/src/lg_native.cpp` — same Morton-window algorithm, exact parity
+    with the jitted path's semantics) when the library is available, else the
+    jitted XLA path. Returns numpy [N] float32."""
+    from lightgaussian_tpu import native
+
+    out = native.knn3_mean_sq_dist(np.asarray(points, np.float32), window)
+    if out is not None:
+        return out
+    return np.asarray(mean_sq_dist_to_3nn(jnp.asarray(points, jnp.float32), window))
