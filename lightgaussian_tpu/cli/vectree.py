@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input_path", type=str, required=True)
     parser.add_argument("--save_path", type=str, required=True)
     parser.add_argument("--no_save_ply", action="store_true")
-    parser.add_argument("--sh_degree", type=int, default=2)
+    # None = infer from the input PLY; an explicit mismatching value errors.
+    parser.add_argument("--sh_degree", type=int, default=None)
     parser.add_argument("--iteration_num", type=int, default=1000)
     parser.add_argument("--vq_ratio", type=float, default=0.6)
     parser.add_argument("--codebook_size", type=int, default=2**13)
@@ -46,15 +47,16 @@ def resolve_imp_path(path: str | Path) -> Path:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    scene = ply_io.load_gaussian_ply(args.input_path)
+    sh_degree = args.sh_degree if args.sh_degree is not None else scene.max_sh_degree
     cfg = vt.VQConfig(
-        sh_degree=args.sh_degree,
+        sh_degree=sh_degree,
         vq_ratio=args.vq_ratio,
         codebook_size=args.codebook_size,
         iterations=args.iteration_num,
         no_importance=args.no_IS,
         vq_way=args.vq_way,
     )
-    scene = ply_io.load_gaussian_ply(args.input_path)
     imp = np.load(resolve_imp_path(args.important_score_npz_path))["arr_0"]
     print(
         f"VQ: {int(scene.num_alive())} gaussians, sh_degree {cfg.sh_degree} "

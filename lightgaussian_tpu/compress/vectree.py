@@ -136,6 +136,11 @@ def quantize_features(
 
     Returns (result, quantized full feature matrix)."""
     n, d = feats.shape
+    assert 6 + cfg.sh_dim + 8 == d, (
+        f"sh_degree {cfg.sh_degree} (sh_dim {cfg.sh_dim}) does not match the "
+        f"feature width {d} (expected 6 + sh_dim + 8); pass the model's actual "
+        "SH degree"
+    )
     sh = feats[:, 6 : 6 + cfg.sh_dim]
     imp = np.ones(n) if cfg.no_importance else np.asarray(importance, np.float64)
     assert imp.shape[0] == n, f"importance rows {imp.shape[0]} != features {n}"
