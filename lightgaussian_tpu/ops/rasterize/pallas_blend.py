@@ -7,9 +7,10 @@ chunks and blends all 1024 pixels at once:
 
 - instance chunks live in HBM as [16, 128] feature-major blocks (perfectly
   (8,128)-tiled; transposed to instance-major [128, 16] in-kernel),
-- within-chunk transmittance prefixes are a strict-lower-triangular
-  [128,128]x[128,1024] matmul of log(1-alpha) on the MXU (no sequential
-  per-splat loop),
+- within-chunk transmittance prefixes are log-depth Hillis-Steele scans of
+  (1 - alpha) products on the VPU (7 shifted multiplies — no sequential
+  per-splat loop, no transcendentals, and exact CUDA-style f32 products
+  instead of exp(sum(log1p))),
 - color accumulation is a [3,128]x[128,1024] matmul,
 - the reference's sequential early-stop (T*(1-a) < 1e-4 freezes T) is the
   equivalent monotone masked form proved in reference.py,
@@ -86,12 +87,29 @@ def _chunk_alpha(f, px, py, pix_valid):
     )
 
 
-def _tri_masks():
-    ri = jax.lax.broadcasted_iota(jnp.int32, (BLEND_CHUNK, BLEND_CHUNK), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (BLEND_CHUNK, BLEND_CHUNK), 1)
-    strict_lower = (ci < ri).astype(jnp.float32)  # exclusive prefix
-    incl_lower = (ci <= ri).astype(jnp.float32)  # inclusive prefix
-    return strict_lower, incl_lower
+def _shift_down(x, s: int, fill: float):
+    """x[i] <- x[i - s] along axis 0, top s rows <- fill (static s)."""
+    rolled = jnp.roll(x, s, axis=0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(ri < s, fill, rolled)
+
+
+def _inclusive_scan_mul(x):
+    """Hillis-Steele inclusive prefix product along axis 0 (log-depth)."""
+    s = 1
+    while s < x.shape[0]:
+        x = x * _shift_down(x, s, 1.0)
+        s *= 2
+    return x
+
+
+def _inclusive_scan_add(x):
+    """Hillis-Steele inclusive prefix sum along axis 0 (log-depth)."""
+    s = 1
+    while s < x.shape[0]:
+        x = x + _shift_down(x, s, 0.0)
+        s *= 2
+    return x
 
 
 def _make_chunk_dma(inst_hbm, buf, sems):
@@ -122,7 +140,6 @@ def _fwd_kernel(
 
     px, py = _pixel_coords(t, tiles_x)
     pix_valid = (px < width) & (py < height)
-    strict_lower, _ = _tri_masks()
     get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
@@ -140,19 +157,20 @@ def _fwd_kernel(
         get_dma(slot, chunk_base + k).wait()
         f = buf[slot].T  # [128, 16] instance-major
         alpha, _ = _chunk_alpha(f, px, py, pix_valid)
-        lg = jnp.log1p(-alpha)
-        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        t_i = t_naive * jnp.exp(ecs)  # [G, PIX]
-        apply = (t_i * (1.0 - alpha)) >= T_EPS
+        om = 1.0 - alpha
+        incl = _inclusive_scan_mul(om)  # [G, PIX] prod_{j<=i}(1-a_j)
+        t_i = t_naive * _shift_down(incl, 1, 1.0)
+        apply = (t_i * om) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
         col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
         rgb = rgb + jax.lax.dot_general(
             col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
-        t_naive = t_naive * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
-        t_act = t_act * jnp.exp(
-            jnp.sum(jnp.where(apply, lg, 0.0), axis=0, keepdims=True)
-        )
+        t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
+        # prod of applied om == incl at the last applied row; apply is a
+        # monotone prefix and incl is non-increasing, so that's a min-reduce
+        # (Mosaic has no reduce_prod).
+        t_act = t_act * jnp.min(jnp.where(apply, incl, 1.0), axis=0, keepdims=True)
         return k + 1, t_naive, t_act, rgb
 
     def cond(state):
@@ -199,7 +217,6 @@ def _count_kernel(
 
     px, py = _pixel_coords(t, tiles_x)
     pix_valid = (px < width) & (py < height)
-    strict_lower, _ = _tri_masks()
     get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
@@ -217,10 +234,10 @@ def _count_kernel(
         get_dma(slot, chunk_base + k).wait()
         f = buf[slot].T
         alpha, _ = _chunk_alpha(f, px, py, pix_valid)
-        lg = jnp.log1p(-alpha)
-        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        t_i = t_naive * jnp.exp(ecs)
-        apply = (t_i * (1.0 - alpha)) >= T_EPS
+        om = 1.0 - alpha
+        incl = _inclusive_scan_mul(om)
+        t_i = t_naive * _shift_down(incl, 1, 1.0)
+        apply = (t_i * om) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
         col = f[:, FEAT_R:FEAT_B + 1]
         rgb = rgb + jax.lax.dot_general(
@@ -241,10 +258,11 @@ def _count_kernel(
         imp_copy.wait()
         cnt_copy.wait()
 
-        t_naive = t_naive * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
-        t_act = t_act * jnp.exp(
-            jnp.sum(jnp.where(apply, lg, 0.0), axis=0, keepdims=True)
-        )
+        t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
+        # prod of applied om == incl at the last applied row; apply is a
+        # monotone prefix and incl is non-increasing, so that's a min-reduce
+        # (Mosaic has no reduce_prod).
+        t_act = t_act * jnp.min(jnp.where(apply, incl, 1.0), axis=0, keepdims=True)
         return t_naive, t_act, rgb
 
     init = (
@@ -280,7 +298,6 @@ def _bwd_kernel(
 
     px, py = _pixel_coords(t, tiles_x)
     pix_valid = (px < width) & (py < height)
-    strict_lower, incl_lower = _tri_masks()
     g = g_rgb_ref[0]  # [3, PIX]
     get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
@@ -299,16 +316,16 @@ def _bwd_kernel(
         get_dma(slot, chunk_base + k).wait()
         f = buf[slot].T
         alpha, ex = _chunk_alpha(f, px, py, pix_valid)
-        lg = jnp.log1p(-alpha)
-        ecs = jnp.dot(strict_lower, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        t_i = t_naive * jnp.exp(ecs)
-        apply = (t_i * (1.0 - alpha)) >= T_EPS
+        om = 1.0 - alpha
+        incl = _inclusive_scan_mul(om)
+        t_i = t_naive * _shift_down(incl, 1, 1.0)
+        apply = (t_i * om) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
 
         col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
         cw = jnp.dot(col, g, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [G, PIX]
         contrib = cw * w
-        incl_prefix = jnp.dot(incl_lower, contrib, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        incl_prefix = _inclusive_scan_add(contrib)
         r_i = r_carry - incl_prefix  # remaining contribution after i (incl. bg)
         d_alpha = jnp.where(apply, cw * t_i - r_i / (1.0 - alpha), 0.0)
 
@@ -346,8 +363,8 @@ def _bwd_kernel(
         out_copy.start()
         out_copy.wait()
 
-        t_naive = t_naive * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
-        r_carry = r_carry - jnp.sum(contrib, axis=0, keepdims=True)
+        t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
+        r_carry = r_carry - incl_prefix[BLEND_CHUNK - 1:BLEND_CHUNK]
         return t_naive, r_carry
 
     init = (jnp.ones((1, PIX), jnp.float32), r_init_ref[0])
