@@ -10,6 +10,7 @@ Everything is vectorized over the leading Gaussian axis — pure VPU work under 
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -47,7 +48,10 @@ def build_covariance_3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier:
     """
     R = quat_to_rotmat(quats)
     L = R * (scale_modifier * scales)[..., None, :]  # R @ diag(s)
-    return L @ jnp.swapaxes(L, -1, -2)
+    # K=3 batched matmul in exact f32 (TPU default matmul precision is bf16).
+    return jnp.einsum(
+        "...ik,...jk->...ij", L, L, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

@@ -3,9 +3,17 @@ instance buffer — the static-shape XLA replacement for the CUDA rasterizer's
 duplicateWithKeys + radix sort (SURVEY.md §2.1a "internal algorithm").
 
 Dynamic per-Gaussian duplication becomes: exclusive-cumsum of per-Gaussian tile
-counts + a `searchsorted` from instance slot -> source Gaussian. Slots past the
-live total get a sentinel tile id that sorts to the end and never lands in any
-tile's range. Sorting uses `jax.lax.sort` with (tile, depth) as a two-key sort.
+counts + a scatter/cummax forward fill from instance slot -> source Gaussian.
+Slots past the live total get a sentinel tile id that sorts to the end and
+never lands in any tile's range. Sorting uses `jax.lax.sort` with a single
+packed (tile | depth) u32 key.
+
+The sorted buffer is COMPACT: tile ranges are raw offsets, NOT chunk-aligned.
+Per-instance gathers/scatters are the dominant cost of binning on TPU
+(~6 ns/element regardless of row width), so the layout avoids every optional
+one: features are gathered straight into sorted order and the blend kernels
+mask boundary rows of 128-instance chunks shared by adjacent tiles in-kernel
+(see pallas_blend.py) instead of scattering into per-tile padded slots.
 """
 from __future__ import annotations
 
@@ -74,24 +82,24 @@ def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, grid: TileGrid, tile_siz
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Binning:
-    """Sorted, per-tile-padded instance buffer + per-tile ranges.
+    """Compact (tile, depth)-sorted instance buffer + raw per-tile ranges.
 
-    Each tile's instance range is padded to a multiple of INST_CHUNK so every
-    128-instance chunk belongs to exactly one tile (chunk-granular kernel
-    writes never touch another tile's data). Padding slots have zero features
-    (alpha == 0) and sentinel gauss id == N.
+    Instances live at sorted positions [0, total); tile t owns the contiguous
+    range [tile_starts[t], tile_starts[t+1]) — raw offsets, not chunk-aligned.
+    Rows at positions >= total are all-zero features (alpha == 0, inert).
 
-    `pre_pos`/`pre_gauss` map *pre-sort* instance slots (which are grouped by
-    source Gaussian, ids ascending) to padded buffer positions — this lets the
-    backward reduce per-instance gradients with a sorted-indices segment-sum
-    (fast path) instead of an unsorted scatter-add.
+    `pre_pos` maps *pre-sort* instance slots (which are grouped by source
+    Gaussian, ids ascending) to sorted positions — dead slots map to the
+    sentinel CAP so per-instance backward outputs can be gathered with one
+    extra zero row. This lets the backward reduce per-instance gradients with
+    a sorted-indices segment-sum (fast path) instead of an unsorted
+    scatter-add (~6 ns/element on TPU).
     """
 
-    inst_chunks: jnp.ndarray  # [CAP/128, FEAT_WIDTH, 128] f32
-    inst_gauss: jnp.ndarray  # [CAP] int32 source Gaussian id (N = padding)
-    pre_pos: jnp.ndarray  # [M_max] int32 pre-sort slot -> padded position (CAP = dead)
+    inst_chunks: jnp.ndarray  # [CAP/128, FEAT_WIDTH, 128] f32, sorted compact
+    pre_pos: jnp.ndarray  # [CAP] int32 pre-sort slot -> sorted position (CAP = dead)
     gauss_cum: jnp.ndarray  # [N] int32 inclusive cumsum of per-Gaussian tile counts
-    tile_starts: jnp.ndarray  # [T+1] int32, every entry a multiple of 128
+    tile_starts: jnp.ndarray  # [T+1] int32 raw sorted-order offsets
     total: jnp.ndarray  # scalar int32: true live instances (overflow monitor)
 
 
@@ -122,9 +130,9 @@ def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int =
 
 
 def instance_capacity(max_instances: int, grid: TileGrid) -> int:
-    """Static padded capacity: live instances + per-tile alignment waste."""
-    cap = max_instances + (grid.num_tiles + 1) * INST_CHUNK
-    return ((cap + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
+    """Static capacity: requested live-instance budget rounded to whole chunks."""
+    del grid  # compact layout needs no per-tile alignment headroom
+    return ((max_instances + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
 
 
 def pack_features(splats: Splats) -> jnp.ndarray:
@@ -165,9 +173,9 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
     # first slot, then forward-fill with a running max. (With ascending ids, a
     # zero-count Gaussian colliding at the same offset loses the max to the
     # owning one, or harmlessly wins when the owner precedes it.)
-    slots = jnp.arange(max_instances, dtype=jnp.int32)
-    marks = jnp.full((max_instances,), -1, jnp.int32)
-    marks = marks.at[jnp.where(count > 0, offsets, max_instances)].max(
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    marks = jnp.full((cap,), -1, jnp.int32)
+    marks = marks.at[jnp.where(count > 0, offsets, cap)].max(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     gid = jax.lax.cummax(marks, axis=0)
@@ -194,7 +202,8 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
     tile = (m[:, 2].astype(jnp.int32) + dy) * grid.tiles_x + (m[:, 1].astype(jnp.int32) + dx)
     tile = jnp.where(live, tile, grid.num_tiles)
 
-    # Pack (tile, depth) into one u32 key: fast single-key sort.
+    # Pack (tile, depth) into one u32 key: fast single-key sort. Dead slots get
+    # the maximal key, so they sort strictly after every live instance.
     depth_bits = sort_key_bits(grid)
     dep_u = jax.lax.bitcast_convert_type(m[:, 4], jnp.uint32) >> (32 - depth_bits)
     dep_u = jnp.where(live, dep_u, jnp.uint32((1 << depth_bits) - 1))
@@ -204,45 +213,29 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
     key_s, gid_s, inv_s = jax.lax.sort((key, gid_tagged, slots), num_keys=1)
     tile_s = (key_s >> depth_bits).astype(jnp.int32)
 
-    # True per-tile ranges in the sorted order, then chunk-aligned ranges.
-    raw_starts = jnp.searchsorted(
+    # Raw per-tile ranges in the sorted order (adjacent ranges share
+    # 128-instance chunks; the kernels mask boundary rows in-kernel).
+    tile_starts = jnp.searchsorted(
         tile_s, jnp.arange(grid.num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    counts_t = raw_starts[1:] - raw_starts[:-1]
-    padded_counts = ((counts_t + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
-    tile_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )
 
-    # Padded positions are ascending and unique over live sorted slots.
-    # One fused per-tile delta table => a single [M] gather instead of two.
-    delta = jnp.concatenate(
-        [tile_starts[:-1] - raw_starts[:-1], jnp.full((1,), cap, jnp.int32)]
-    )
-    tile_sc = jnp.minimum(tile_s, grid.num_tiles)
-    pos = delta[tile_sc] + jnp.where(tile_s < grid.num_tiles, slots, 0)
-    pos = jnp.minimum(pos, cap)
+    # Pre-sort slot -> sorted position. A second (cheap, ~1 payload) sort by
+    # the inverse permutation replaces an unsorted scatter, which XLA executes
+    # ~6x slower. Dead slots (sorted positions >= total) get sentinel CAP so
+    # backward gathers hit a dedicated zero row instead of unwritten memory.
+    _, pre_pos = jax.lax.sort((inv_s, slots), num_keys=1)
+    pre_pos = jnp.where(pre_pos < total, pre_pos, cap)
 
-    # Only the int32 gid is scattered (XLA multi-column f32 scatters are ~20x
-    # slower); features are then row-GATHERED by gid, with sentinel id == n
-    # hitting an appended all-zero row (inert padding instances).
-    inst_gauss = jnp.full((cap,), n, jnp.int32).at[pos].set(
-        gid_s, mode="drop", indices_are_sorted=True, unique_indices=True
-    )
-    # pre-sort slot -> padded position (scatter pos back through the sort perm).
-    pre_pos = jnp.full((max_instances,), cap, jnp.int32).at[inv_s].set(
-        pos, mode="drop", unique_indices=True
-    )
-
+    # Features land in sorted order with ONE row-gather (sentinel id == n hits
+    # an appended all-zero row, making padding instances inert).
     feat = jnp.concatenate(
         [pack_features(splats), jnp.zeros((1, FEAT_WIDTH), jnp.float32)]
     )
-    flat = feat[inst_gauss]
+    flat = feat[gid_s]
     inst_chunks = flat.reshape(cap // INST_CHUNK, INST_CHUNK, FEAT_WIDTH).transpose(0, 2, 1)
 
     return Binning(
         inst_chunks=inst_chunks,
-        inst_gauss=inst_gauss,
         pre_pos=pre_pos,
         gauss_cum=cum.astype(jnp.int32),
         tile_starts=tile_starts,

@@ -7,6 +7,10 @@ chunks and blends all 1024 pixels at once:
 
 - instance chunks live in HBM as [16, 128] feature-major blocks (perfectly
   (8,128)-tiled; transposed to instance-major [128, 16] in-kernel),
+- tile ranges are RAW offsets into the compact sorted buffer: a chunk at a
+  tile boundary is read by both adjacent tiles, each masking out the rows it
+  does not own (per-instance padding/scatter in XLA costs ~6 ns/element —
+  far more than re-reading ~1 extra 8 KiB chunk per tile),
 - within-chunk transmittance prefixes are log-depth Hillis-Steele scans of
   (1 - alpha) products on the VPU (7 shifted multiplies — no sequential
   per-splat loop, no transcendentals, and exact CUDA-style f32 products
@@ -15,9 +19,17 @@ chunks and blends all 1024 pixels at once:
 - the reference's sequential early-stop (T*(1-a) < 1e-4 freezes T) is the
   equivalent monotone masked form proved in reference.py,
 - the backward re-walks chunks *front-to-back* carrying the per-pixel
-  "remaining contribution" scalar, so no reverse storage is needed, and
-  per-instance gradients go to chunk-exclusive HBM blocks (segment-summed to
-  Gaussians outside the kernel — no atomics).
+  "remaining contribution" scalar, so no reverse storage is needed; the five
+  geometric gradients (d_mean2d, d_conic) come from six shared-subexpression
+  lane-reductions of {d_power, d_power*dx, d_power*dy} plus [G, 1] scalar
+  algebra (~12 fewer [G, PIX] VPU passes than the term-by-term form; an MXU
+  moment matmul was tried and loses — N=8 outputs pad to a full 128-lane MXU
+  pass), and per-instance gradients go to per-chunk HBM blocks (a tile's
+  unaligned first chunk read-modify-writes the previous tile's contribution;
+  the sequential TPU grid makes that race-free), segment-summed to Gaussians
+  outside the kernel — no atomics,
+- the backward early-exits on transmittance saturation like the forward,
+  zero-filling the skipped chunks' gradient blocks.
 
 Counting (`f_count`) emits per-instance hit counts and alpha*T mass in the same
 forward walk (`/root/reference/gaussian_renderer/__init__.py:156-229` semantics).
@@ -50,36 +62,61 @@ from lightgaussian_tpu.ops.rasterize.projection import ALPHA_EPS, MAX_ALPHA, T_E
 BLEND_CHUNK = INST_CHUNK  # 128 instances blended per inner step
 PIX = TILE_SIZE * TILE_SIZE  # 1024 pixels/tile = 8 sublanes x 128 lanes of f32
 
+_HI = jax.lax.Precision.HIGHEST
 
-def _pixel_coords(tile_id, tiles_x):
-    """Per-tile pixel coordinate rows: px, py of shape [1, PIX] (float32)."""
+
+def _tile_origin(tile_id, tiles_x):
     tx = tile_id % tiles_x
     ty = tile_id // tiles_x
+    return (tx * TILE_SIZE).astype(jnp.float32), (ty * TILE_SIZE).astype(jnp.float32)
+
+
+def _local_coords():
+    """Tile-local pixel coordinate rows: x, y of shape [1, PIX] in [0, 32)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = (tx * TILE_SIZE + lane % TILE_SIZE).astype(jnp.float32)
-    py = (ty * TILE_SIZE + lane // TILE_SIZE).astype(jnp.float32)
-    return px, py
+    lx = (lane % TILE_SIZE).astype(jnp.float32)
+    ly = (lane // TILE_SIZE).astype(jnp.float32)
+    return lx, ly
 
 
-def _chunk_alpha(f, px, py, pix_valid):
-    """Shared fwd/bwd per-chunk alpha computation.
+def _range_info(starts_ref, t):
+    """Raw [start, end) range -> (chunk_base, nchunks, start, end)."""
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    chunk_base = start // BLEND_CHUNK
+    nchunks = jnp.where(
+        end > start, (end + BLEND_CHUNK - 1) // BLEND_CHUNK - chunk_base, 0
+    )
+    return chunk_base, nchunks, start, end
+
+
+def _row_valid(chunk_base, k, start, end):
+    """[G, 1] mask of rows of chunk k owned by this tile (boundary masking)."""
+    row = (chunk_base + k) * BLEND_CHUNK + jax.lax.broadcasted_iota(
+        jnp.int32, (BLEND_CHUNK, 1), 0
+    )
+    return (row >= start) & (row < end)
+
+
+def _chunk_alpha(f, lx, ly, ox, oy, pix_valid, row_valid):
+    """Shared fwd/bwd per-chunk alpha computation in tile-local coordinates.
 
     f: [G, FEAT_WIDTH] instance-major features (padding rows are all-zero, so
     their alpha is 0 and they are inert). Returns (alpha [G,PIX], extras).
     """
-    mx = f[:, FEAT_MX:FEAT_MX + 1]
-    my = f[:, FEAT_MY:FEAT_MY + 1]
+    mx = f[:, FEAT_MX:FEAT_MX + 1] - ox
+    my = f[:, FEAT_MY:FEAT_MY + 1] - oy
     ca = f[:, FEAT_CA:FEAT_CA + 1]
     cb = f[:, FEAT_CB:FEAT_CB + 1]
     cc = f[:, FEAT_CC:FEAT_CC + 1]
     opa = f[:, FEAT_OPA:FEAT_OPA + 1]
-    dx = px - mx  # [G, PIX]
-    dy = py - my
+    dx = lx - mx  # [G, PIX]
+    dy = ly - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g_exp = jnp.exp(power)
     alpha_raw = opa * g_exp
     alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-    elig = (power <= 0.0) & (alpha >= ALPHA_EPS) & pix_valid
+    elig = (power <= 0.0) & (alpha >= ALPHA_EPS) & pix_valid & row_valid
     alpha = jnp.where(elig, alpha, 0.0)
     return alpha, dict(
         dx=dx, dy=dy, g_exp=g_exp, alpha_raw=alpha_raw, elig=elig,
@@ -121,8 +158,14 @@ def _make_chunk_dma(inst_hbm, buf, sems):
     return get_dma
 
 
+def _pix_valid(t, tiles_x, width, height):
+    ox, oy = _tile_origin(t, tiles_x)
+    lx, ly = _local_coords()
+    return lx, ly, ox, oy, (lx + ox < width) & (ly + oy < height)
+
+
 def _fwd_kernel(
-    starts_ref,  # scalar prefetch: [T+1] int32 (multiples of 128)
+    starts_ref,  # scalar prefetch: [T+1] int32 raw offsets
     inst_hbm,  # [CAP/128, FEAT_WIDTH, 128] f32 (HBM)
     rgb_out,  # [1, 3, PIX] VMEM block
     t_out,  # [1, 1, PIX] VMEM block
@@ -134,12 +177,8 @@ def _fwd_kernel(
     height: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
-    chunk_base = start // BLEND_CHUNK
-    nchunks = (starts_ref[t + 1] - start) // BLEND_CHUNK
-
-    px, py = _pixel_coords(t, tiles_x)
-    pix_valid = (px < width) & (py < height)
+    chunk_base, nchunks, start, end = _range_info(starts_ref, t)
+    lx, ly, ox, oy, pix_valid = _pix_valid(t, tiles_x, width, height)
     get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
@@ -156,7 +195,9 @@ def _fwd_kernel(
 
         get_dma(slot, chunk_base + k).wait()
         f = buf[slot].T  # [128, 16] instance-major
-        alpha, _ = _chunk_alpha(f, px, py, pix_valid)
+        alpha, _ = _chunk_alpha(
+            f, lx, ly, ox, oy, pix_valid, _row_valid(chunk_base, k, start, end)
+        )
         om = 1.0 - alpha
         incl = _inclusive_scan_mul(om)  # [G, PIX] prod_{j<=i}(1-a_j)
         t_i = t_naive * _shift_down(incl, 1, 1.0)
@@ -164,7 +205,7 @@ def _fwd_kernel(
         w = jnp.where(apply, alpha * t_i, 0.0)
         col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
         rgb = rgb + jax.lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_HI
         )
         t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
         # prod of applied om == incl at the last applied row; apply is a
@@ -194,6 +235,18 @@ def _fwd_kernel(
     t_out[0] = t_act
 
 
+def _is_shared(k, nchunks, start, end):
+    """Chunk k already holds a PREVIOUS tile's rows -> accumulate, don't store.
+
+    Only the first chunk of an unaligned range qualifies: earlier tiles (which
+    own rows [chunk_start, start) and run first on the sequential grid) have
+    already stored it. A trailing shared chunk is plain-stored — the NEXT tile
+    is the one that accumulates into it.
+    """
+    del nchunks, end
+    return (k == 0) & (start % BLEND_CHUNK != 0)
+
+
 def _count_kernel(
     starts_ref,
     inst_hbm,
@@ -205,18 +258,16 @@ def _count_kernel(
     sems,
     stat_buf,  # VMEM scratch (2, 1, 128)
     stat_sems,  # DMA sems (2,)
+    rmw_buf,  # VMEM scratch (2, 1, 128) for shared-chunk accumulation
+    rmw_sems,  # DMA sems (2,)
     *,
     tiles_x: int,
     width: int,
     height: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
-    chunk_base = start // BLEND_CHUNK
-    nchunks = (starts_ref[t + 1] - start) // BLEND_CHUNK
-
-    px, py = _pixel_coords(t, tiles_x)
-    pix_valid = (px < width) & (py < height)
+    chunk_base, nchunks, start, end = _range_info(starts_ref, t)
+    lx, ly, ox, oy, pix_valid = _pix_valid(t, tiles_x, width, height)
     get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
     @pl.when(nchunks > 0)
@@ -233,7 +284,9 @@ def _count_kernel(
 
         get_dma(slot, chunk_base + k).wait()
         f = buf[slot].T
-        alpha, _ = _chunk_alpha(f, px, py, pix_valid)
+        alpha, _ = _chunk_alpha(
+            f, lx, ly, ox, oy, pix_valid, _row_valid(chunk_base, k, start, end)
+        )
         om = 1.0 - alpha
         incl = _inclusive_scan_mul(om)
         t_i = t_naive * _shift_down(incl, 1, 1.0)
@@ -241,12 +294,30 @@ def _count_kernel(
         w = jnp.where(apply, alpha * t_i, 0.0)
         col = f[:, FEAT_R:FEAT_B + 1]
         rgb = rgb + jax.lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_HI
         )
 
-        # Per-instance stats -> chunk-exclusive HBM blocks (no races).
+        # Per-instance stats -> per-chunk HBM blocks. Boundary chunks shared
+        # with the previous/next tile accumulate (their row sets are disjoint,
+        # and the sequential grid orders the writes).
         stat_buf[0] = jnp.sum(w, axis=1, keepdims=True).T  # [1, 128]
         stat_buf[1] = jnp.sum((w > 0.0).astype(jnp.float32), axis=1, keepdims=True).T
+
+        @pl.when(_is_shared(k, nchunks, start, end))
+        def _():
+            imp_rd = pltpu.make_async_copy(
+                imp_out.at[chunk_base + k], rmw_buf.at[0], rmw_sems.at[0]
+            )
+            cnt_rd = pltpu.make_async_copy(
+                cnt_out.at[chunk_base + k], rmw_buf.at[1], rmw_sems.at[1]
+            )
+            imp_rd.start()
+            cnt_rd.start()
+            imp_rd.wait()
+            cnt_rd.wait()
+            stat_buf[0] = stat_buf[0] + rmw_buf[0]
+            stat_buf[1] = stat_buf[1] + rmw_buf[1]
+
         imp_copy = pltpu.make_async_copy(
             stat_buf.at[0], imp_out.at[chunk_base + k], stat_sems.at[0]
         )
@@ -259,9 +330,6 @@ def _count_kernel(
         cnt_copy.wait()
 
         t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
-        # prod of applied om == incl at the last applied row; apply is a
-        # monotone prefix and incl is non-increasing, so that's a min-reduce
-        # (Mosaic has no reduce_prod).
         t_act = t_act * jnp.min(jnp.where(apply, incl, 1.0), axis=0, keepdims=True)
         return t_naive, t_act, rgb
 
@@ -286,18 +354,16 @@ def _bwd_kernel(
     sems,
     grad_buf,  # VMEM scratch (FEAT_WIDTH, 128)
     grad_sem,
+    rmw_buf,  # VMEM scratch (FEAT_WIDTH, 128) for shared-chunk accumulation
+    rmw_sem,
     *,
     tiles_x: int,
     width: int,
     height: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
-    chunk_base = start // BLEND_CHUNK
-    nchunks = (starts_ref[t + 1] - start) // BLEND_CHUNK
-
-    px, py = _pixel_coords(t, tiles_x)
-    pix_valid = (px < width) & (py < height)
+    chunk_base, nchunks, start, end = _range_info(starts_ref, t)
+    lx, ly, ox, oy, pix_valid = _pix_valid(t, tiles_x, width, height)
     g = g_rgb_ref[0]  # [3, PIX]
     get_dma = _make_chunk_dma(inst_hbm, buf, sems)
 
@@ -305,8 +371,8 @@ def _bwd_kernel(
     def _():
         get_dma(0, chunk_base).start()
 
-    def body(k, state):
-        t_naive, r_carry = state  # [1,PIX], [1,PIX]
+    def body(state):
+        k, t_naive, r_carry = state  # [1,PIX], [1,PIX]
         slot = k % 2
 
         @pl.when(k + 1 < nchunks)
@@ -315,7 +381,9 @@ def _bwd_kernel(
 
         get_dma(slot, chunk_base + k).wait()
         f = buf[slot].T
-        alpha, ex = _chunk_alpha(f, px, py, pix_valid)
+        alpha, ex = _chunk_alpha(
+            f, lx, ly, ox, oy, pix_valid, _row_valid(chunk_base, k, start, end)
+        )
         om = 1.0 - alpha
         incl = _inclusive_scan_mul(om)
         t_i = t_naive * _shift_down(incl, 1, 1.0)
@@ -323,7 +391,7 @@ def _bwd_kernel(
         w = jnp.where(apply, alpha * t_i, 0.0)
 
         col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
-        cw = jnp.dot(col, g, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [G, PIX]
+        cw = jnp.dot(col, g, preferred_element_type=jnp.float32, precision=_HI)  # [G, PIX]
         contrib = cw * w
         incl_prefix = _inclusive_scan_add(contrib)
         r_i = r_carry - incl_prefix  # remaining contribution after i (incl. bg)
@@ -333,30 +401,50 @@ def _bwd_kernel(
         # eligibility gates are non-differentiable cutoffs (as in CUDA).
         unclamped = ex["alpha_raw"] < MAX_ALPHA
         d_alpha_raw = jnp.where(unclamped & ex["elig"], d_alpha, 0.0)
-        d_opa = d_alpha_raw * ex["g_exp"]  # [G, PIX]
-        d_power = d_alpha_raw * ex["alpha_raw"]
-        dx, dy = ex["dx"], ex["dy"]
-        d_ca = -0.5 * d_power * dx * dx
-        d_cb = -d_power * dx * dy
-        d_cc = -0.5 * d_power * dy * dy
-        # d(power)/d(dx) = -(ca*dx + cb*dy); dx = px - mx => d/d(mx) flips sign.
-        d_mx = d_power * (ex["ca"] * dx + ex["cb"] * dy)
-        d_my = d_power * (ex["cc"] * dy + ex["cb"] * dx)
+        d_power = d_alpha_raw * ex["alpha_raw"]  # [G, PIX]
 
-        d_col = jax.lax.dot_general(
-            w, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )  # [G, 3]
+        dxf, dyf = ex["dx"], ex["dy"]
+        # Shared-subexpression moments: q1 = d_power*dx, q2 = d_power*dy give
+        # ALL five geometric grads from six lane-reductions + [G, 1] scalar
+        # algebra (d_mx = ca*Sum q1 + cb*Sum q2, d_opa = Sum d_power / opa,
+        # ...) — ~12 fewer [G, PIX] VPU passes than the term-by-term form.
+        q1 = d_power * dxf
+        q2 = d_power * dyf
 
         def rsum(x):  # [G, PIX] -> [G, 1]
             return jnp.sum(x, axis=1, keepdims=True)
 
+        m0 = rsum(d_power)
+        cx = rsum(q1)
+        cy = rsum(q2)
+        d_ca = -0.5 * rsum(q1 * dxf)
+        d_cb = -rsum(q1 * dyf)
+        d_cc = -0.5 * rsum(q2 * dyf)
+        # d(power)/d(dx) = -(ca*dx + cb*dy); dx = x - mx => d/d(mx) flips sign.
+        d_mx = ex["ca"] * cx + ex["cb"] * cy
+        d_my = ex["cc"] * cy + ex["cb"] * cx
+        # d_opa = Sum d_alpha_raw * g_exp = (Sum d_power) / opa.
+        d_opa = m0 / jnp.maximum(ex["opa"], 1e-12)
+
+        d_col = jax.lax.dot_general(
+            w, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_HI
+        )  # [G, 3]
+
         pad = jnp.zeros((BLEND_CHUNK, FEAT_WIDTH - FEAT_OPA - 1), jnp.float32)
         gmat = jnp.concatenate(
-            [rsum(d_mx), rsum(d_my), rsum(d_ca), rsum(d_cb), rsum(d_cc),
-             d_col, rsum(d_opa), pad],
-            axis=1,
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_col, d_opa, pad], axis=1
         )  # [G, FEAT_WIDTH]
         grad_buf[:] = gmat.T  # [FEAT_WIDTH, 128]
+
+        @pl.when(_is_shared(k, nchunks, start, end))
+        def _():
+            rd = pltpu.make_async_copy(
+                grads_out.at[chunk_base + k], rmw_buf, rmw_sem
+            )
+            rd.start()
+            rd.wait()
+            grad_buf[:] = grad_buf[:] + rmw_buf[:]
+
         out_copy = pltpu.make_async_copy(
             grad_buf, grads_out.at[chunk_base + k], grad_sem
         )
@@ -365,10 +453,30 @@ def _bwd_kernel(
 
         t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
         r_carry = r_carry - incl_prefix[BLEND_CHUNK - 1:BLEND_CHUNK]
-        return t_naive, r_carry
+        return k + 1, t_naive, r_carry
 
-    init = (jnp.ones((1, PIX), jnp.float32), r_init_ref[0])
-    jax.lax.fori_loop(0, nchunks, body, init)
+    def cond(state):
+        k, t_naive, _ = state
+        return (k < nchunks) & (jnp.max(t_naive) >= T_EPS)
+
+    init = (jnp.int32(0), jnp.ones((1, PIX), jnp.float32), r_init_ref[0])
+    k_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Early exit: drain the in-flight DMA, then zero-fill the skipped chunks
+    # (their rows are saturated => zero grads, but the buffer is unwritten and
+    # the next tile may accumulate into the trailing shared chunk).
+    @pl.when(k_end < nchunks)
+    def _():
+        get_dma(k_end % 2, chunk_base + k_end).wait()
+        grad_buf[:] = jnp.zeros((FEAT_WIDTH, BLEND_CHUNK), jnp.float32)
+
+        def zfill(k, carry):
+            cp = pltpu.make_async_copy(grad_buf, grads_out.at[chunk_base + k], grad_sem)
+            cp.start()
+            cp.wait()
+            return carry
+
+        jax.lax.fori_loop(k_end, nchunks, zfill, 0)
 
 
 def _common_grid_spec(grid: TileGrid, extra_in_specs, out_specs, scratch):
@@ -413,7 +521,11 @@ def blend_forward(tile_starts, inst_chunks, grid: TileGrid, interpret: bool = Fa
 @functools.partial(jax.jit, static_argnames=("grid", "interpret"))
 def blend_forward_counting(tile_starts, inst_chunks, grid: TileGrid, interpret: bool = False):
     """Forward + per-instance (imp, hit-count) stats. Returns
-    (tile_rgb, tile_T, imp [CAP/128, 1, 128], cnt [CAP/128, 1, 128])."""
+    (tile_rgb, tile_T, imp [CAP/128, 1, 128], cnt [CAP/128, 1, 128]).
+
+    imp/cnt rows past the live total are unwritten garbage; callers must
+    gather through the sentinel-clamped `Binning.pre_pos` (dead -> zero row).
+    """
     ncap = inst_chunks.shape[0]
     kernel = functools.partial(
         _count_kernel, tiles_x=grid.tiles_x, width=grid.width, height=grid.height
@@ -429,6 +541,8 @@ def blend_forward_counting(tile_starts, inst_chunks, grid: TileGrid, interpret: 
         ),
         [
             pltpu.VMEM((2, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 1, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -450,7 +564,11 @@ def blend_forward_counting(tile_starts, inst_chunks, grid: TileGrid, interpret: 
 
 @functools.partial(jax.jit, static_argnames=("grid", "interpret"))
 def blend_backward(tile_starts, inst_chunks, tile_g_rgb, tile_r_init, grid: TileGrid, interpret: bool = False):
-    """Per-instance feature gradients [CAP/128, FEAT_WIDTH, 128]."""
+    """Per-instance feature gradients [CAP/128, FEAT_WIDTH, 128].
+
+    Rows past the live total are unwritten garbage; callers must gather
+    through the sentinel-clamped `Binning.pre_pos` (dead -> zero row).
+    """
     ncap = inst_chunks.shape[0]
     kernel = functools.partial(
         _bwd_kernel, tiles_x=grid.tiles_x, width=grid.width, height=grid.height
@@ -465,6 +583,8 @@ def blend_backward(tile_starts, inst_chunks, tile_g_rgb, tile_r_init, grid: Tile
         [
             pltpu.VMEM((2, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],

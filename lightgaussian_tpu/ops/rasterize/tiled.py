@@ -86,12 +86,12 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
         # Reduce per-instance grads to per-Gaussian grads: gather them into
         # pre-sort slot order (contiguous per Gaussian), then a two-level
         # cumsum + boundary diff — not a scatter-add (XLA's segment-sum
-        # scatter path is ~25x slower on TPU).
-        cap = inst_grads.shape[0]
+        # scatter path is ~25x slower on TPU). `pre_pos` is sentinel-clamped:
+        # dead slots hit the appended zero row, never unwritten kernel output.
         inst_grads = jnp.concatenate(
             [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)]
-        )  # row `cap` = zeros for dead slots
-        pre_grads = inst_grads[jnp.minimum(b.pre_pos, cap)]
+        )
+        pre_grads = inst_grads[b.pre_pos]
         per_gauss = binning_mod.segment_reduce_pre(pre_grads, b.gauss_cum)
 
         d_splats = Splats(
@@ -145,9 +145,8 @@ def blend_tiled_counting(
     image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
 
     stats = jnp.stack([_unchunk(imp)[:, 0], _unchunk(cnt)[:, 0]], axis=1)  # [CAP, 2]
-    cap = stats.shape[0]
     stats = jnp.concatenate([stats, jnp.zeros((1, 2), stats.dtype)])
-    pre_stats = stats[jnp.minimum(b.pre_pos, cap)]
+    pre_stats = stats[b.pre_pos]  # sentinel-clamped: dead slots hit the zero row
     per_gauss = binning_mod.segment_reduce_pre(pre_stats, b.gauss_cum)
     gauss_imp = per_gauss[:, 0]
     gauss_cnt = per_gauss[:, 1].astype(jnp.int32)
