@@ -10,7 +10,6 @@ Everything is vectorized over the leading Gaussian axis — pure VPU work under 
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -48,9 +47,13 @@ def build_covariance_3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier:
     """
     R = quat_to_rotmat(quats)
     L = R * (scale_modifier * scales)[..., None, :]  # R @ diag(s)
-    # K=3 batched matmul in exact f32 (TPU default matmul precision is bf16).
-    return jnp.einsum(
-        "...ik,...jk->...ij", L, L, precision=jax.lax.Precision.HIGHEST
+    # L @ L^T written out component-wise: exact f32 elementwise VPU work that
+    # XLA fuses away. A dot_general here either runs in bf16 (default matmul
+    # precision) or, forced to f32, lowers to a ~3 ms un-fused batched matmul.
+    rows = [L[..., i, :] for i in range(3)]  # each [..., 3]
+    out = [[jnp.sum(rows[i] * rows[j], axis=-1) for j in range(3)] for i in range(3)]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in out], axis=-2
     )
 
 

@@ -3,8 +3,14 @@
 Semantics match the reference (`/root/reference/utils/loss_utils.py:18-85`,
 `utils/image_utils.py:15-21`): SSIM uses an 11x11 Gaussian window (sigma=1.5),
 C1=0.01^2, C2=0.03^2, zero 'same' padding, per-channel depthwise convolution,
-mean over all pixels/channels. Implemented with `lax.conv_general_dilated`
-(grouped conv) so it fuses into a handful of XLA convs on TPU.
+mean over all pixels/channels.
+
+The separable blur runs as one fused Pallas kernel on TPU (both directions in
+VMEM, one pass over HBM — the XLA shifted-sum form re-reads every element ~22
+times). The symmetric window with zero 'same' padding makes the blur operator
+self-adjoint, so its custom VJP is the blur itself. Off-TPU (and for the CPU
+test suite) a pure-jnp shifted-sum path with identical accumulation order is
+used.
 """
 from __future__ import annotations
 
@@ -12,6 +18,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -41,13 +49,8 @@ def _gaussian_taps(window_size: int, sigma: float):
     return tuple((g / g.sum()).astype(np.float32).tolist())
 
 
-def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """[C, H, W] -> same-shape Gaussian blur with zero 'same' padding.
-
-    The 11x11 window is an outer product, so two shift-and-add passes of 11
-    taps replace the 121-tap grouped conv (which has terrible MXU utilization
-    at 3 channels) — pure fused VPU work, ~10x faster on TPU.
-    """
+def _blur_jnp(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Shift-and-add separable blur (reference path; any backend)."""
     taps = _gaussian_taps(window_size, sigma)
     r = window_size // 2
     _, h, w = x.shape
@@ -55,6 +58,92 @@ def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarr
     x = sum(t * xp[:, :, i:i + w] for i, t in enumerate(taps))
     xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)))
     return sum(t * xp[:, i:i + h, :] for i, t in enumerate(taps))
+
+
+_BLUR_CB = 3  # channels per grid step
+_BLUR_HB = 64  # output rows per grid step
+
+
+def _blur_kernel(x_hbm, out_block, buf, acc, sem, *, taps, hb, halo, w):
+    c, h = pl.program_id(0), pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c * _BLUR_CB, _BLUR_CB), pl.ds(h * hb, halo), :],
+        buf,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+    # Accumulate through refs, one tap per statement: an unrolled sum of 11
+    # shifted slices would keep all 11 multi-MB temporaries live on the Mosaic
+    # VMEM stack at once and blow the 16 MiB scoped-vmem limit.
+    acc[...] = taps[0] * buf[:, 0:hb, :]
+    for k in range(1, len(taps)):
+        acc[...] = acc[...] + taps[k] * buf[:, k:k + hb, :]
+    out_block[...] = taps[0] * acc[:, :, 0:w]
+    for k in range(1, len(taps)):
+        out_block[...] = out_block[...] + taps[k] * acc[:, :, k:k + w]
+
+
+def _blur_pallas_raw(x: jnp.ndarray, window_size: int, sigma: float, interpret: bool) -> jnp.ndarray:
+    taps = _gaussian_taps(window_size, sigma)
+    r = window_size // 2
+    c, h, w = x.shape
+    nc = -(-c // _BLUR_CB)
+    hb = min(_BLUR_HB, ((h + 7) // 8) * 8)
+    nh = -(-h // hb)
+    halo = ((hb + 2 * r + 7) // 8) * 8  # DMA slice height must be 8-aligned
+    wp = ((w + 2 * r + 127) // 128) * 128  # DMA width must be 128-aligned
+    xp = jnp.pad(
+        x,
+        ((0, nc * _BLUR_CB - c), (r, (halo - hb - r) + nh * hb - h), (r, wp - w - r)),
+    )  # zero 'same' padding + block/halo alignment
+    kernel = functools.partial(_blur_kernel, taps=taps, hb=hb, halo=halo, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc, nh),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (_BLUR_CB, hb, w), lambda ci, hi: (ci, hi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc * _BLUR_CB, nh * hb, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_BLUR_CB, halo, wp), jnp.float32),
+            pltpu.VMEM((_BLUR_CB, hb, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:c, :h, :]
+
+
+@functools.lru_cache(maxsize=8)
+def _blur_self_adjoint(window_size: int, sigma: float, interpret: bool):
+    """Pallas blur wrapped in its own (self-adjoint) VJP: d(blur)^T = blur."""
+
+    @jax.custom_vjp
+    def blur(x):
+        return _blur_pallas_raw(x, window_size, sigma, interpret)
+
+    def fwd(x):
+        return blur(x), None
+
+    def bwd(_, g):
+        return (blur(g),)
+
+    blur.defvjp(fwd, bwd)
+    return blur
+
+
+def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """[C, H, W] -> same-shape Gaussian blur with zero 'same' padding.
+
+    The 11x11 window is an outer product, so two 11-tap passes replace the
+    121-tap grouped conv (which has terrible MXU utilization at 3 channels).
+    On TPU both passes run fused in one Pallas kernel (one HBM round trip).
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        return _blur_self_adjoint(window_size, float(sigma), False)(x)
+    return _blur_jnp(x, window_size, sigma)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:

@@ -63,15 +63,18 @@ def preprocess(
     wv = camera.world_view
     fp = camera.full_proj
 
-    # World -> camera. K=3 matmuls must stay exact f32: XLA's default TPU
-    # matmul precision is bf16, which visibly corrupts the projection.
-    hi = jax.lax.Precision.HIGHEST
-    p_view = jnp.einsum("nk,jk->nj", means, wv[:3, :3], precision=hi) + wv[:3, 3]
+    # World -> camera. K=3 "matmuls" are written as broadcasted elementwise
+    # sums: exact f32 (XLA's default TPU matmul precision is bf16, which
+    # visibly corrupts the projection) and fully fusible on the VPU.
+    def matvec3(m3):  # rows [3(+), 3] applied to means -> [N, 3(+)]
+        return jnp.sum(means[:, None, :] * m3[None, :, :], axis=-1)
+
+    p_view = matvec3(wv[:3, :3]) + wv[:3, 3]
     depth = p_view[:, 2]
 
     # World -> clip -> NDC -> pixels.
-    p_hom = jnp.einsum("nk,jk->nj", means, fp[:3, :3], precision=hi) + fp[:3, 3]
-    p_w = jnp.einsum("nk,k->n", means, fp[3, :3], precision=hi) + fp[3, 3]
+    p_hom = matvec3(fp[:3, :3]) + fp[:3, 3]
+    p_w = jnp.sum(means * fp[3, :3], axis=-1) + fp[3, 3]
     inv_w = 1.0 / (p_w + 1e-7)
     ndc = p_hom[:, :2] * inv_w[:, None]
     if mean2d_offset is not None:
@@ -85,9 +88,9 @@ def preprocess(
     else:
         cov3d = cov_ops.build_covariance_3d(scene.scales, scene.quats, scale_modifier)
     Wr = wv[:3, :3]
-    cov_cam = jnp.einsum(
-        "ij,njk,lk->nil", Wr, cov3d, Wr, precision=jax.lax.Precision.HIGHEST
-    )
+    # W @ Sigma @ W^T component-wise (exact f32, fusible; see matvec3 note).
+    tmp = jnp.sum(Wr[None, :, None, :] * cov3d[:, None, :, :], axis=-1)  # [N,3,3]
+    cov_cam = jnp.sum(tmp[:, :, None, :] * Wr[None, None, :, :], axis=-1)
     focal_x = camera.width / (2.0 * camera.tan_fovx)
     focal_y = camera.height / (2.0 * camera.tan_fovy)
     cov2d = cov_ops.ewa_project(

@@ -168,6 +168,24 @@ class TestLosses:
         b = jnp.full((3, 8, 8), 0.1)
         assert float(losses.psnr(a, b)) == pytest.approx(20.0, abs=1e-4)
 
+    def test_pallas_blur_matches_jnp(self, rng):
+        """The fused TPU blur kernel (interpret mode) vs the jnp reference,
+        including non-aligned shapes and the 15-channel SSIM stack."""
+        for c, h, w in [(15, 37, 53), (3, 64, 96), (1, 8, 8)]:
+            x = jnp.asarray(rng.uniform(size=(c, h, w)), jnp.float32)
+            ref = losses._blur_jnp(x, 11, 1.5)
+            pal = losses._blur_pallas_raw(x, 11, 1.5, interpret=True)
+            np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-6)
+
+    def test_pallas_blur_self_adjoint_vjp(self, rng):
+        """blur's custom VJP (blur itself) vs autodiff through the jnp path."""
+        x = jnp.asarray(rng.uniform(size=(3, 24, 40)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 24, 40)), jnp.float32)
+        blur = losses._blur_self_adjoint(11, 1.5, True)
+        g_pal = jax.grad(lambda v: (blur(v) * wgt).sum())(x)
+        g_ref = jax.grad(lambda v: (losses._blur_jnp(v, 11, 1.5) * wgt).sum())(x)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-5)
+
 
 class TestSchedules:
     def test_expon_lr_endpoints(self):
