@@ -2,7 +2,8 @@
 
 TPU build of `/root/reference/render_video.py:160-184`: `--video` renders the
 default PCA-ellipse path (`pose_utils.py:261-322`), `--circular` a circular
-offset orbit, `--gaussians` perturbed-pose grids; train/test stills unless
+offset orbit, `--spherify` a spherified inward orbit, `--gaussians`
+perturbed-pose grids; train/test stills unless
 skipped. `--load_vq` loads the `extreme_saving/` compressed checkpoint.
 
 Usage: python -m lightgaussian_tpu.cli.render_video -m <model_dir> --video
@@ -30,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--video", action="store_true")
     parser.add_argument("--circular", action="store_true")
+    parser.add_argument("--spherify", action="store_true")
     parser.add_argument("--radius", default=5.0, type=float)
     parser.add_argument("--gaussians", action="store_true")
     parser.add_argument("--mean", default=0.0, type=float)
@@ -79,6 +81,12 @@ def main(argv=None) -> None:
             model.model_path, "circular", scene.loaded_iter, cams,
             scene.gaussians, bg, max_instances, n_frames=args.n_frames,
             radius=args.radius, interpret=interpret,
+        )
+    if args.spherify:
+        render_sets.render_trajectory(
+            model.model_path, "spherify", scene.loaded_iter, cams,
+            scene.gaussians, bg, max_instances, n_frames=args.n_frames,
+            interpret=interpret,
         )
     if args.gaussians:
         # perturbed-pose grid around each of a few training views

@@ -223,6 +223,56 @@ def generate_spherical_sample_path(
     return out
 
 
+def generate_spherify_path(cams: list[Camera], n_frames: int = 120) -> list[np.ndarray]:
+    """Spherified inward-facing orbit (`pose_utils.py:325-391` semantics).
+
+    Finds the 3D point with minimum total squared distance to all camera
+    optical axes, re-centers/normalizes the rig around it, and emits a circle
+    of poses at the cameras' mean height looking at the center. Returns
+    world-to-camera 4x4s in the COLMAP convention like the other generators.
+    """
+    poses = _c2w_poses(cams)  # OpenGL-convention c2w like the reference builds
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+
+    # Least-squares intersection of the camera viewing lines.
+    a_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
+    b_i = -a_i @ rays_o
+    center = np.squeeze(
+        -np.linalg.inv((np.transpose(a_i, [0, 2, 1]) @ a_i).mean(0)) @ b_i.mean(0)
+    )
+
+    up = (poses[:, :3, 3] - center).mean(0)
+    vec0 = _normalize(up)
+    vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = _normalize(np.cross(vec0, vec1))
+    c2w = np.eye(4)
+    c2w[:3] = np.stack([vec1, vec2, vec0, center], 1)
+
+    poses_reset = np.linalg.inv(c2w) @ pad_poses(poses[:, :3, :4])
+    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+    poses_reset[:, :3, 3] /= rad
+
+    zh = np.mean(poses_reset[:, :3, 3], 0)[2]
+    radcircle = np.sqrt(max(1.0 - zh * zh, 1e-12))
+
+    out = []
+    for th in np.linspace(0.0, 2.0 * np.pi, n_frames):
+        origin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
+        up_c = np.array([0.0, 0.0, -1.0])
+        v2 = _normalize(origin)
+        v0 = _normalize(np.cross(v2, up_c))
+        v1 = _normalize(np.cross(v2, v0))
+        pose = np.eye(4)
+        pose[:3] = np.stack([v0, v1, v2, origin], 1)
+        # Back to world scale/frame, then to the COLMAP w2c convention.
+        pose[:3, 3] *= rad
+        pose = c2w @ pose
+        pose[:3, 1:3] *= -1
+        out.append(np.linalg.inv(pose))
+    return out
+
+
 def camera_from_w2c(w2c: np.ndarray, template: Camera) -> Camera:
     """Materialize a trajectory pose with a template camera's intrinsics — the
     per-frame rebuild of `render_video.py:114-117`."""

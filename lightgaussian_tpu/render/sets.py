@@ -73,8 +73,10 @@ def render_trajectory(
     interpret: bool = False,
 ) -> Path:
     """Trajectory renders (`render_video.py:93-137`): kind in
-    {"ellipse", "circular", "spherical"}; frames into `<kind>/ours_<it>/`."""
-    out_name = {"ellipse": "video", "circular": "circular", "spherical": "spherical"}[kind]
+    {"ellipse", "circular", "spherical", "spherify"}; frames into
+    `<kind>/ours_<it>/`."""
+    out_name = {"ellipse": "video", "circular": "circular",
+                "spherical": "spherical", "spherify": "spherify"}[kind]
     base = Path(model_path) / out_name / f"ours_{iteration}"
     fn = _make_render_fn(max_instances, interpret)
     template = cameras[0]
@@ -84,6 +86,9 @@ def render_trajectory(
         frames = [pose_gen.camera_from_w2c(p, template) for p in w2cs]
     elif kind == "spherical":
         w2cs = pose_gen.generate_spherical_sample_path(cameras, n=n_frames)
+        frames = [pose_gen.camera_from_w2c(p, template) for p in w2cs]
+    elif kind == "spherify":
+        w2cs = pose_gen.generate_spherify_path(cameras, n_frames=n_frames)
         frames = [pose_gen.camera_from_w2c(p, template) for p in w2cs]
     else:
         ref_cam = cameras[min(13, len(cameras) - 1)]

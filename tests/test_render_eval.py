@@ -86,6 +86,26 @@ def test_spiral_path():
     assert w2cs.shape == (6, 4, 4)
 
 
+def test_spherify_path():
+    cams = _ring_cameras(10)
+    w2cs = pose_gen.generate_spherify_path(cams, n_frames=8)
+    assert len(w2cs) == 8
+    centers = []
+    for w2c in w2cs:
+        R = w2c[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        centers.append(np.linalg.inv(w2c)[:3, 3])
+    # circle at roughly constant radius from the rig's focus (the origin)
+    radii = np.linalg.norm(np.stack(centers), axis=1)
+    np.testing.assert_allclose(radii, radii[0], rtol=0.05)
+    assert 0.5 < radii[0] < 8.0
+    # frames actually see the scene
+    scene = random_scene(n=100, seed=0, extent=0.8, scale_range=(0.03, 0.1))
+    frame = pose_gen.camera_from_w2c(w2cs[0], cams[0])
+    out = render(scene, frame, jnp.zeros(3), max_instances=MAXI, interpret=True)
+    assert float(out.render.max()) > 0.01
+
+
 def test_gaussian_pose_jitter():
     rng = np.random.default_rng(0)
     cam = _ring_cameras(1)[0].with_gt(jnp.zeros((3, 48, 64)))
