@@ -26,7 +26,7 @@ from lightgaussian_tpu.models.camera import Camera
 from lightgaussian_tpu.train import checkpoint as ckpt_mod
 from lightgaussian_tpu.train import densify as densify_mod
 from lightgaussian_tpu.train import gss
-from lightgaussian_tpu.train.state import TrainState, init_train_state
+from lightgaussian_tpu.train.state import TrainState, grow_capacity, init_train_state
 from lightgaussian_tpu.train.step import make_eval_render, make_train_step
 from lightgaussian_tpu.utils.logging import MetricsLogger, StepTimer, training_report
 from lightgaussian_tpu.ops.rasterize import default_max_instances
@@ -145,6 +145,22 @@ def train(
         jax.block_until_ready(state.scene.means)
         elapsed = timer.stop()
 
+        # Auto-grow the instance buffer BEFORE overflow starts truncating
+        # splats (binning drops instances past capacity). Rare: one recompile.
+        inst_used = int(metrics.num_instances)
+        if inst_used > 0.85 * max_instances:
+            max_instances = ((int(inst_used * 1.5) + 127) // 128) * 128
+            print(
+                f"[{iteration}] instance buffer {inst_used} > 85% of capacity;"
+                f" growing to {max_instances} (recompile)"
+            )
+            step_fn = make_train_step(
+                opt, scene.cameras_extent, max_instances,
+                lr_mult_fn=lr_mult_fn, update_densify_stats=densify,
+                interpret=interpret,
+            )
+            eval_fn = make_eval_render(max_instances, interpret=interpret)
+
         ema_loss = 0.4 * loss + 0.6 * ema_loss if iteration > first_iter + 1 else loss
         if iteration % 100 == 0:
             print(
@@ -162,6 +178,13 @@ def train(
                     state, opt.densify_grad_threshold, 0.005, scene.cameras_extent,
                     size_thresh, opt.percent_dense, sub,
                 )
+                # Grow Gaussian capacity before the free-slot clamp starts
+                # silently dropping clones/splits. Rare: one recompile.
+                cap = state.scene.capacity
+                if int(state.scene.num_alive()) > 0.9 * cap:
+                    new_cap = ((int(cap * 3 // 2) + 127) // 128) * 128
+                    print(f"[{iteration}] gaussians near capacity {cap}; growing to {new_cap} (recompile)")
+                    state = grow_capacity(state, new_cap)
             if iteration % opt.opacity_reset_interval == 0:
                 state = densify_mod.reset_opacity(state)
 

@@ -156,3 +156,70 @@ class TestGSS:
         kept_min = va[alive & np.asarray(keep)].min()
         dropped_max = va[alive & ~np.asarray(keep)].max()
         assert dropped_max <= kept_min
+
+
+class TestLoopAutoGrow:
+    """The training driver grows static capacities (with a recompile) before
+    overflow silently truncates work — instance buffer and Gaussian slots."""
+
+    def _fake_scene(self, student, cams, tmp_path):
+        class FakeScene:
+            cameras_extent = 1.5
+            model_path = str(tmp_path)
+            gaussians = student
+
+            def getTrainCameras(self):
+                return cams
+
+            def getTestCameras(self):
+                return []
+
+            def save(self, it, sc):
+                pass
+
+        return FakeScene()
+
+    def test_instance_buffer_grows(self, setup, tmp_path, capsys):
+        from lightgaussian_tpu.config import TrainConfig
+        from lightgaussian_tpu.train import loop as loop_mod
+        from lightgaussian_tpu.utils.logging import MetricsLogger
+
+        target_scene, student, cams = setup
+        cfg = TrainConfig(
+            opt=OptimizationParams(iterations=2, densify_from_iter=999),
+            test_iterations=[], save_iterations=[], checkpoint_iterations=[],
+            prune_iterations=[],
+        )
+        # Start with a buffer far below the scene's real instance count.
+        loop_mod.train(
+            self._fake_scene(student, cams, tmp_path), cfg, BG,
+            max_instances=128, densify=False, interpret=True,
+            logger=MetricsLogger(tmp_path, enable_tensorboard=False),
+        )
+        out = capsys.readouterr().out
+        assert "growing to" in out, "instance-buffer auto-grow did not trigger"
+
+    def test_gaussian_capacity_grows(self, setup, tmp_path, capsys):
+        from lightgaussian_tpu.config import TrainConfig
+        from lightgaussian_tpu.train import loop as loop_mod
+        from lightgaussian_tpu.utils.logging import MetricsLogger
+
+        target_scene, student, cams = setup
+        # capacity 128 with 48 alive; aggressive densification every iter
+        cfg = TrainConfig(
+            opt=OptimizationParams(
+                iterations=8, densify_from_iter=0, densification_interval=1,
+                densify_until_iter=100, densify_grad_threshold=0.0,
+                opacity_reset_interval=1000,
+            ),
+            test_iterations=[], save_iterations=[], checkpoint_iterations=[],
+            prune_iterations=[],
+        )
+        state = loop_mod.train(
+            self._fake_scene(student, cams, tmp_path), cfg, BG,
+            max_instances=MAX_INST, densify=True, interpret=True,
+            logger=MetricsLogger(tmp_path, enable_tensorboard=False),
+        )
+        out = capsys.readouterr().out
+        assert "gaussians near capacity" in out, "capacity auto-grow did not trigger"
+        assert state.scene.capacity > 128
