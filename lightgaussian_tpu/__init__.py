@@ -9,9 +9,9 @@ evaluation tooling), re-designed for TPU:
   alive-mask; densify/prune are masked scatter passes (static shapes for XLA).
 - The differentiable rasterizer is a custom-VJP pipeline: vectorized EWA
   preprocess in jnp, tile binning via ``jax.lax.sort`` over a fixed-capacity
-  instance buffer, and chunked front-to-back alpha blending as Pallas kernels
-  (within-chunk transmittance via triangular-matmul cumulative products on the
-  MXU; gradient accumulation via segment sums — no atomics).
+  compact instance buffer, and chunked front-to-back alpha blending as Pallas
+  kernels (within-chunk transmittance via log-depth shifted-multiply scans on
+  the VPU; gradient accumulation via segment sums — no atomics).
 - Multi-chip scaling uses a ``jax.sharding.Mesh`` with camera-batch data
   parallelism and tile-space sharding, gradients reduced with ``psum`` on ICI.
 """

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of a few steps here")
+    parser.add_argument("--profile_start", type=int, default=100)
+    parser.add_argument("--profile_steps", type=int, default=5)
     parser.add_argument("--interpret", action="store_true", default=None)
     return parser
 
@@ -84,9 +88,17 @@ def main(argv=None) -> None:
             print(f"[viewer] listener unavailable on {args.ip}:{args.port} ({e})")
             gui = None
 
+    callbacks = None
+    if args.profile_dir:
+        callbacks = loop.LoopCallbacks(
+            on_iteration=loop.make_profiler_callback(
+                args.profile_dir, args.profile_start, args.profile_steps
+            )
+        )
+
     logger = MetricsLogger(out)
     loop.train(
-        scene, cfg, bg, state=state, first_iter=first_iter,
+        scene, cfg, bg, state=state, first_iter=first_iter, callbacks=callbacks,
         densify=True, interpret=interpret, logger=logger, seed=args.seed,
         gui=gui, gui_source_path=str(model.source_path),
     )

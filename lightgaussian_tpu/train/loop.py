@@ -39,6 +39,23 @@ class LoopCallbacks:
     on_iteration: Callable | None = None  # (iteration, state, metrics) -> None
 
 
+def make_profiler_callback(trace_dir: str, start_iter: int = 100, n_steps: int = 5):
+    """On-iteration hook that captures a `jax.profiler` device trace of steps
+    [start_iter, start_iter + n_steps) — the TPU-native replacement for the
+    reference's paired-cuda-Event step timing (`train_densify_prune.py:66-67`;
+    SURVEY.md §5 tracing). View with TensorBoard or xprof."""
+    def on_iteration(iteration, state, metrics):
+        if iteration == start_iter:
+            print(f"[{iteration}] starting jax.profiler trace -> {trace_dir}")
+            jax.profiler.start_trace(trace_dir)
+        elif iteration == start_iter + n_steps:
+            jax.block_until_ready(state.scene.means)
+            jax.profiler.stop_trace()
+            print(f"[{iteration}] profiler trace written to {trace_dir}")
+
+    return on_iteration
+
+
 def save_imp_score(path: str | Path, scene, v_imp: np.ndarray) -> None:
     """`imp_score.npz` (`train_densify_prune.py:222-225`,
     `utils/save_imp_score.py:36-57`): capacity-aligned array under the key
