@@ -85,9 +85,11 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
 
         # Reduce per-instance grads to per-Gaussian grads: gather them into
         # pre-sort slot order (contiguous per Gaussian), then a two-level
-        # cumsum + boundary diff — not a scatter-add (XLA's segment-sum
-        # scatter path is ~25x slower on TPU). `pre_pos` is sentinel-clamped:
-        # dead slots hit the appended zero row, never unwritten kernel output.
+        # cumsum + boundary diff. Row-GATHER costs ~8 ns/row independent of
+        # width; the tempting row-scatter inverse costs ~6 ns/ELEMENT (16x
+        # worse here, measured 102 -> 203 ms/step), and XLA's scatter-add
+        # segment sum is worse still. `pre_pos` is sentinel-clamped: dead
+        # slots hit the appended zero row, never unwritten kernel output.
         inst_grads = jnp.concatenate(
             [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)]
         )

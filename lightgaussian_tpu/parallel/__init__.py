@@ -3,11 +3,23 @@ from lightgaussian_tpu.parallel.train import (
     make_parallel_train_step,
     stack_cameras,
 )
+from lightgaussian_tpu.parallel.gauss import (
+    GAUSS_AXIS,
+    gather_state,
+    make_gauss_mesh,
+    make_gauss_train_step,
+    shard_state,
+)
 
 __all__ = [
     "make_mesh",
     "DATA_AXIS",
     "SPACE_AXIS",
+    "GAUSS_AXIS",
     "make_parallel_train_step",
+    "make_gauss_mesh",
+    "make_gauss_train_step",
+    "shard_state",
+    "gather_state",
     "stack_cameras",
 ]

@@ -130,6 +130,7 @@ def train(
     key = jax.random.PRNGKey(seed)
 
     camera_stack: list[Camera] = []
+    shrink_streak = 0
     ema_loss = 0.0
     model_path = Path(scene.model_path)
 
@@ -162,15 +163,31 @@ def train(
         jax.block_until_ready(state.scene.means)
         elapsed = timer.stop()
 
-        # Auto-grow the instance buffer BEFORE overflow starts truncating
-        # splats (binning drops instances past capacity). Rare: one recompile.
+        # Auto-size the instance buffer: grow BEFORE overflow starts truncating
+        # splats (binning drops instances past capacity), and shrink when the
+        # scene settles far below capacity — every per-instance binning cost
+        # (sort, gathers, scatter, segment sums) scales with CAPACITY, not
+        # live count, so an oversized buffer directly taxes the step time.
+        # Both directions recompile once (compiles are cached by shape).
         inst_used = int(metrics.num_instances)
+        resize = None
         if inst_used > 0.85 * max_instances:
-            max_instances = ((int(inst_used * 1.5) + 127) // 128) * 128
+            resize = "grow"
+            shrink_streak = 0
+        elif inst_used < 0.4 * max_instances and inst_used > 0:
+            shrink_streak += 1
+            if shrink_streak >= 30:
+                resize = "shrink"
+                shrink_streak = 0
+        else:
+            shrink_streak = 0
+        if resize:
+            new_cap = max(((int(inst_used * 1.5) + 127) // 128) * 128, 1024)
             print(
-                f"[{iteration}] instance buffer {inst_used} > 85% of capacity;"
-                f" growing to {max_instances} (recompile)"
+                f"[{iteration}] instance buffer {inst_used} vs capacity "
+                f"{max_instances}; {resize}ing to {new_cap} (recompile)"
             )
+            max_instances = new_cap
             step_fn = make_train_step(
                 opt, scene.cameras_extent, max_instances,
                 lr_mult_fn=lr_mult_fn, update_densify_stats=densify,

@@ -191,6 +191,13 @@ class TestLoopAutoGrow:
             prune_iterations=[],
         )
         # Start with a buffer far below the scene's real instance count.
+        # Near-opaque, large splats keep the tight (alpha-support) tile rect
+        # at the full 3-sigma box so the 48 Gaussians really overflow 128.
+        student = dataclasses.replace(
+            student,
+            opacity_logits=jnp.full_like(student.opacity_logits, 6.0),
+            log_scales=jnp.full_like(student.log_scales, np.log(0.3)),
+        )
         loop_mod.train(
             self._fake_scene(student, cams, tmp_path), cfg, BG,
             max_instances=128, densify=False, interpret=True,
