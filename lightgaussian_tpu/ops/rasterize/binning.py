@@ -112,6 +112,115 @@ def tile_rect(
     return lo_x, lo_y, hi_x, hi_y, count
 
 
+# Rects with at most this many candidate tiles get exact per-tile ellipse
+# intersection tests (a 32-bit slot bitmask); larger rects (rare, huge splats)
+# fall back to keeping every rect tile. 16 already saturates the cut on
+# isotropic scenes; 32 covers the large anisotropic splats of real scenes at
+# +0.5 ms mask-build cost.
+MAX_MASK_TILES = 32
+
+# Tile pixel-center boxes are inflated by this many pixels before the
+# intersection test: the continuous box min is evaluated with different f32
+# operations than the kernel's per-pixel-center power, and the margin keeps
+# the test strictly conservative (never drops a tile containing a pixel with
+# alpha >= ALPHA_EPS). f32 rounding is ~1e-5 px at these magnitudes, so 0.25 px
+# is far more than needed while costing ~1% of the cut.
+_MASK_MARGIN_PX = 0.25
+
+
+def _exact_tile_mask(
+    splats: Splats,
+    lo_x: jnp.ndarray,
+    lo_y: jnp.ndarray,
+    hi_x: jnp.ndarray,
+    rect_count: jnp.ndarray,
+    tile_size: int,
+):
+    """Exact ellipse-vs-tile intersection masks over row-major rect slots.
+
+    The axis-aligned rect of `tile_rect` keeps every tile in the bounding box
+    of the alpha support; for anisotropic / diagonal splats many corner tiles
+    never contain an eligible pixel (the blend kernel zeroes alpha < ALPHA_EPS,
+    i.e. q(dx,dy) > q_max with q = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 and
+    q_max = 2*ln(opa/ALPHA_EPS)). A tile intersects the support iff the MINIMUM
+    of q over the tile's (margin-inflated) pixel box is <= q_max; that minimum
+    has closed form: zero if the mean is inside the box, else the min over the
+    four edges, where each edge is a clamped 1D quadratic. Dropped tiles
+    contribute exactly zero in the blend (w == 0), so the rendered image and
+    all gradients are unchanged up to f32 summation regrouping at chunk
+    boundaries. This is the analogue of the per-tile culling the CUDA
+    reference forgoes (its duplicateWithKeys keeps the full rect;
+    SURVEY.md §2.1a) — on TPU every per-instance binning op scales with the
+    instance count, so the ~10-30% cut pays for the [N, 32] test directly.
+
+    Returns (mask uint32 [N], count int32 [N], use_mask bool [N]); where
+    `use_mask` is False the mask is undefined and `count` falls back to the
+    rect count (callers then map slot -> tile by rect index directly).
+    """
+    ca, cb, cc = splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2]
+    from lightgaussian_tpu.ops.rasterize.projection import ALPHA_EPS
+
+    q_max = 2.0 * jnp.log(jnp.maximum(splats.opacity, 1e-12) / ALPHA_EPS)
+    use_mask = (rect_count > 0) & (rect_count <= MAX_MASK_TILES)
+
+    w = jnp.maximum(hi_x - lo_x, 1)
+    j = jnp.arange(MAX_MASK_TILES, dtype=jnp.int32)[None, :]  # [1, 32]
+    tx = lo_x[:, None] + j % w[:, None]
+    ty = lo_y[:, None] + j // w[:, None]
+    ts = float(tile_size)
+    x0 = tx.astype(jnp.float32) * ts - _MASK_MARGIN_PX
+    x1 = x0 + (ts - 1.0 + 2.0 * _MASK_MARGIN_PX)
+    y0 = ty.astype(jnp.float32) * ts - _MASK_MARGIN_PX
+    y1 = y0 + (ts - 1.0 + 2.0 * _MASK_MARGIN_PX)
+    mx = splats.mean2d[:, 0:1]
+    my = splats.mean2d[:, 1:2]
+    caj, cbj, ccj = ca[:, None], cb[:, None], cc[:, None]
+
+    def edge_x(xf):  # min over the edge x == xf, y free in the box
+        dx = xf - mx
+        dy = jnp.clip(-cbj * dx / jnp.maximum(ccj, 1e-12), y0 - my, y1 - my)
+        return (caj * dx + 2.0 * cbj * dy) * dx + ccj * dy * dy
+
+    def edge_y(yf):
+        dy = yf - my
+        dx = jnp.clip(-cbj * dy / jnp.maximum(caj, 1e-12), x0 - mx, x1 - mx)
+        return (caj * dx + 2.0 * cbj * dy) * dx + ccj * dy * dy
+
+    q_min = jnp.minimum(
+        jnp.minimum(edge_x(x0), edge_x(x1)), jnp.minimum(edge_y(y0), edge_y(y1))
+    )
+    inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+    q_min = jnp.where(inside, 0.0, q_min)
+
+    in_rect = j < rect_count[:, None]
+    keep = in_rect & ((q_min <= q_max[:, None]) | ~use_mask[:, None])
+    count = jnp.sum(keep, axis=1).astype(jnp.int32)
+    count = jnp.where(use_mask, count, rect_count)
+
+    # Set bits are disjoint, so the OR of the word is an exact uint32 sum.
+    bit = jnp.uint32(1) << j.astype(jnp.uint32)
+    mask = jnp.sum(keep.astype(jnp.uint32) * bit, axis=1, dtype=jnp.uint32)
+    return mask, count, use_mask
+
+
+def _kth_set_bit(mask: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
+    """Index of the (l+1)-th set bit of a 32-bit mask.
+
+    Branch-free binary search with `lax.population_count`; callers guarantee
+    l < popcount(mask)."""
+    word = mask
+    l2 = l
+    base = jnp.zeros_like(l)
+    for wdt in (16, 8, 4, 2, 1):
+        low = word & jnp.uint32((1 << wdt) - 1)
+        c = jax.lax.population_count(low).astype(jnp.int32)
+        go_hi = l2 >= c
+        word = jnp.where(go_hi, word >> wdt, low)
+        l2 = l2 - jnp.where(go_hi, c, 0)
+        base = base + jnp.where(go_hi, wdt, 0)
+    return base
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Binning:
@@ -198,9 +307,12 @@ def sort_key_bits(grid: TileGrid) -> int:
 def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: int = TILE_SIZE) -> Binning:
     n = splats.mean2d.shape[0]
     cap = instance_capacity(max_instances, grid)
-    lo_x, lo_y, hi_x, _hi_y, count = tile_rect(
+    lo_x, lo_y, hi_x, _hi_y, rect_count = tile_rect(
         splats.mean2d, splats.radius, grid, tile_size,
         conic=splats.conic, opacity=splats.opacity,
+    )
+    mask, count, use_mask = _exact_tile_mask(
+        splats, lo_x, lo_y, hi_x, rect_count, tile_size
     )
 
     cum = jnp.cumsum(count)
@@ -220,8 +332,11 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
     live = slots < total
     gid_c = jnp.clip(gid, 0, n - 1)
 
-    # One packed row-gather for all per-Gaussian metadata (offset fits f32
-    # exactly below 2^24; gather rows, not 6 scalar gathers).
+    # One packed row-gather for all per-Gaussian metadata (every column fits
+    # f32 exactly: offsets < 2^24, mask half-words < 2^16; gather rows, not 8
+    # scalar gathers — row gathers cost the same regardless of width <= 16).
+    # The fallback (rect area > 32 tiles) is encoded as mask == 0: live slots
+    # of a masked Gaussian always have popcount(mask) > 0.
     meta = jnp.stack(
         [
             offsets.astype(jnp.float32),
@@ -229,12 +344,18 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
             lo_y.astype(jnp.float32),
             jnp.maximum(hi_x - lo_x, 1).astype(jnp.float32),
             splats.depth,
+            jnp.where(use_mask, (mask & 0xFFFF).astype(jnp.float32), 0.0),
+            jnp.where(use_mask, (mask >> 16).astype(jnp.float32), 0.0),
         ],
         axis=1,
-    )  # [N, 5]
+    )  # [N, 7]
     m = meta[gid_c]
     local = slots - m[:, 0].astype(jnp.int32)
     rect_w = m[:, 3].astype(jnp.int32)
+    # Map the local slot to its rect tile: the (local+1)-th surviving bit of
+    # the exact-intersection mask (or `local` itself on the >32-tile fallback).
+    g_mask = m[:, 5].astype(jnp.uint32) | (m[:, 6].astype(jnp.uint32) << 16)
+    local = jnp.where(g_mask > 0, _kth_set_bit(g_mask, local), local)
     dx = local % rect_w
     dy = local // rect_w
     tile = (m[:, 2].astype(jnp.int32) + dy) * grid.tiles_x + (m[:, 1].astype(jnp.int32) + dx)

@@ -22,7 +22,7 @@ from lightgaussian_tpu.utils.synthetic import default_camera, random_scene
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 300_000
-CAP = 1_500_000
+CAP = (1_500_000 // INST_CHUNK) * INST_CHUNK
 
 
 def timeit(name, fn, *args, iters=10):
@@ -76,7 +76,7 @@ def main():
            jax.jit(lambda v, c: segment_reduce_pre(v, c)), big[:-1], b.gauss_cum)
 
     timeit("chunk transpose [CAP/128,128,16]->[.,16,128]",
-           jax.jit(lambda f: f[:-1].reshape(CAP // 128, 128, FEAT_WIDTH).transpose(0, 2, 1)),
+           jax.jit(lambda f: f[:CAP].reshape(CAP // 128, 128, FEAT_WIDTH).transpose(0, 2, 1)),
            big)
 
     timeit("blend_forward kernel only",

@@ -125,3 +125,65 @@ class TestCounting:
         out = count_render(scene, camera, BG, method="reference")
         assert int(np.asarray(out.gaussians_count).sum()) > 1000
         assert float(np.asarray(out.important_score).sum()) > 1.0
+
+
+class TestExactTileBinning:
+    """The exact ellipse-vs-tile intersection cull (`binning._exact_tile_mask`)
+    must be output-neutral: dropped (Gaussian, tile) instances have no pixel
+    with alpha >= ALPHA_EPS, so they blend exactly zero. Only f32 summation
+    regrouping at 128-instance chunk boundaries may differ."""
+
+    def test_kth_set_bit_matches_numpy(self):
+        from lightgaussian_tpu.ops.rasterize.binning import _kth_set_bit
+
+        rng = np.random.default_rng(0)
+        masks = rng.integers(1, 2**32, size=512, dtype=np.uint64).astype(np.uint32)
+        masks[:4] = [1, 2**31, 0xFFFFFFFF, 0x80000001]
+        for l in (0, 1, 5):
+            got = np.asarray(
+                _kth_set_bit(jnp.asarray(masks), jnp.full(masks.shape, l, jnp.int32))
+            )
+            for i, m in enumerate(masks):
+                bits = [b for b in range(32) if (int(m) >> b) & 1]
+                if l < len(bits):
+                    assert got[i] == bits[l], (hex(int(m)), l, got[i])
+
+    def test_exact_cull_is_output_neutral(self, scene, camera):
+        import lightgaussian_tpu.ops.rasterize.binning as bm
+        from lightgaussian_tpu.ops.rasterize import tiled
+
+        def run():
+            tiled._get_blend_fn.cache_clear()
+            out = render(scene, camera, BG, method="tiled", interpret=True)
+
+            def loss(params):
+                s = scene.with_params(params)
+                o = render(s, camera, BG, method="tiled", interpret=True)
+                return (o.render * o.render).sum()
+
+            g = jax.grad(loss)(scene.params())
+            return out, g
+
+        out_exact, g_exact = run()
+        orig = bm._exact_tile_mask
+
+        def rect_only(splats, lo_x, lo_y, hi_x, rect_count, tile_size):
+            mask, c, um = orig(splats, lo_x, lo_y, hi_x, rect_count, tile_size)
+            return jnp.zeros_like(mask), rect_count, jnp.zeros_like(um)
+
+        bm._exact_tile_mask = rect_only
+        try:
+            out_rect, g_rect = run()
+        finally:
+            bm._exact_tile_mask = orig
+            tiled._get_blend_fn.cache_clear()
+
+        assert int(out_exact.num_instances) <= int(out_rect.num_instances)
+        np.testing.assert_allclose(
+            np.asarray(out_exact.render), np.asarray(out_rect.render), atol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(g_exact), jax.tree.leaves(g_rect)):
+            scale = np.abs(np.asarray(b)).max() + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+            )
