@@ -116,6 +116,97 @@ def _blur_pallas_raw(x: jnp.ndarray, window_size: int, sigma: float, interpret: 
     return out[:c, :h, :]
 
 
+def _blur5_kernel(xy_hbm, out_block, buf, der, acc, sem, *, taps, hb, halo, w):
+    """One channel pair (x_c, y_c) -> the five blurred SSIM moment planes
+    B(x), B(y), B(x^2), B(y^2), B(x*y), products formed in VMEM so the
+    15-channel stacked tensor never exists in HBM."""
+    c, h = pl.program_id(0), pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xy_hbm.at[pl.ds(c * 2, 2), pl.ds(h * hb, halo), :], buf, sem
+    )
+    cp.start()
+    cp.wait()
+    der[0] = buf[0]
+    der[1] = buf[1]
+    der[2] = buf[0] * buf[0]
+    der[3] = buf[1] * buf[1]
+    der[4] = buf[0] * buf[1]
+    acc[...] = taps[0] * der[:, 0:hb, :]
+    for k in range(1, len(taps)):
+        acc[...] = acc[...] + taps[k] * der[:, k:k + hb, :]
+    out_block[...] = taps[0] * acc[:, :, 0:w]
+    for k in range(1, len(taps)):
+        out_block[...] = out_block[...] + taps[k] * acc[:, :, k:k + w]
+
+
+def _blur5_pallas_raw(img1, img2, window_size: int, sigma: float, interpret: bool):
+    """[C, H, W] x2 -> [C*5, H, W] blurred moment planes (channel-major:
+    plane k of channel c lands at index c*5 + k)."""
+    taps = _gaussian_taps(window_size, sigma)
+    r = window_size // 2
+    c, h, w = img1.shape
+    # 5 derived planes + halo buffer + tap temporaries live on the Mosaic VMEM
+    # stack at once; 32 output rows keeps the kernel under the 16 MiB scoped
+    # limit at 1080p (64 rows hits 22.5 MiB).
+    hb = min(32, ((h + 7) // 8) * 8)
+    nh = -(-h // hb)
+    halo = ((hb + 2 * r + 7) // 8) * 8
+    wp = ((w + 2 * r + 127) // 128) * 128
+    xy = jnp.concatenate([img1[:, None], img2[:, None]], axis=1).reshape(2 * c, h, w)
+    xyp = jnp.pad(
+        xy, ((0, 0), (r, (halo - hb - r) + nh * hb - h), (r, wp - w - r))
+    )
+    kernel = functools.partial(_blur5_kernel, taps=taps, hb=hb, halo=halo, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, nh),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (5, hb, w), lambda ci, hi: (ci, hi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c * 5, nh * hb, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, halo, wp), jnp.float32),
+            pltpu.VMEM((5, halo, wp), jnp.float32),
+            pltpu.VMEM((5, hb, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xyp)
+    return out[:, :h, :]
+
+
+@functools.lru_cache(maxsize=8)
+def _ssim_moments_fused(window_size: int, sigma: float, interpret: bool):
+    """Fused SSIM moment blur with a hand-written VJP.
+
+    Forward: one Pallas pass from (x, y) to the five blurred moment planes per
+    channel. Backward: the blur is self-adjoint, so for cotangents g_k of the
+    five planes, dx = B(g0) + 2x*B(g2) + y*B(g4) and
+    dy = B(g1) + 2y*B(g3) + x*B(g4) — one 5C-channel blur plus elementwise
+    combines, instead of autodiff's product-chain over a materialized
+    15-channel stack."""
+
+    @jax.custom_vjp
+    def moments(x, y):
+        return _blur5_pallas_raw(x, y, window_size, sigma, interpret)
+
+    def fwd(x, y):
+        return moments(x, y), (x, y)
+
+    def bwd(res, g):
+        x, y = res
+        c = x.shape[0]
+        gb = _blur_pallas_raw(g, window_size, sigma, interpret)
+        gb = gb.reshape(c, 5, *x.shape[1:])
+        dx = gb[:, 0] + 2.0 * x * gb[:, 2] + y * gb[:, 4]
+        dy = gb[:, 1] + 2.0 * y * gb[:, 3] + x * gb[:, 4]
+        return dx, dy
+
+    moments.defvjp(fwd, bwd)
+    return moments
+
+
 @functools.lru_cache(maxsize=8)
 def _blur_self_adjoint(window_size: int, sigma: float, interpret: bool):
     """Pallas blur wrapped in its own (self-adjoint) VJP: d(blur)^T = blur."""
@@ -149,11 +240,16 @@ def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarr
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over a [C, H, W] image pair (`loss_utils.py:26-85`)."""
     c = img1.shape[0]
-    stacked = jnp.concatenate(
-        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
-    )
-    blurred = _separable_blur(stacked, window_size, sigma)
-    mu1, mu2, s11, s22, s12 = (blurred[i * c:(i + 1) * c] for i in range(5))
+    if jax.default_backend() in ("tpu", "axon"):
+        b = _ssim_moments_fused(window_size, float(sigma), False)(img1, img2)
+        b = b.reshape(c, 5, *img1.shape[1:])
+        mu1, mu2, s11, s22, s12 = b[:, 0], b[:, 1], b[:, 2], b[:, 3], b[:, 4]
+    else:
+        stacked = jnp.concatenate(
+            [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+        )
+        blurred = _separable_blur(stacked, window_size, sigma)
+        mu1, mu2, s11, s22, s12 = (blurred[i * c:(i + 1) * c] for i in range(5))
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2

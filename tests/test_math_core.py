@@ -254,3 +254,39 @@ class TestCamera:
         assert batch.world_view.shape == (2, 4, 4)
         c1 = cam_mod.index_camera(batch, 1)
         np.testing.assert_allclose(c1.world_view, cams[1].world_view)
+
+
+class TestFusedSSIMMoments:
+    """The TPU-fused SSIM moment kernel (`losses._ssim_moments_fused`) must
+    match the jnp stacked-blur path in values and in gradients (its VJP is
+    hand-written from blur self-adjointness)."""
+
+    def _ssim_via_fused(self, a, b):
+        m = losses._ssim_moments_fused(11, 1.5, True)(a, b)
+        c = a.shape[0]
+        m = m.reshape(c, 5, *a.shape[1:])
+        mu1, mu2, s11, s22, s12 = m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4]
+        c1, c2 = 0.01**2, 0.03**2
+        smap = ((2 * mu1 * mu2 + c1) * (2 * (s12 - mu1 * mu2) + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1)
+            * ((s11 - mu1 * mu1) + (s22 - mu2 * mu2) + c2)
+        )
+        return smap.mean()
+
+    def test_fused_moments_match_jnp_path(self, rng):
+        x = jnp.asarray(rng.uniform(size=(3, 41, 67)), jnp.float32)
+        y = jnp.asarray(rng.uniform(size=(3, 41, 67)), jnp.float32)
+        ref = float(losses.ssim(x, y))  # CPU backend -> jnp path
+        fused = float(self._ssim_via_fused(x, y))
+        assert fused == pytest.approx(ref, abs=1e-6)
+
+    def test_fused_moments_gradients(self, rng):
+        x = jnp.asarray(rng.uniform(size=(3, 33, 48)), jnp.float32)
+        y = jnp.asarray(rng.uniform(size=(3, 33, 48)), jnp.float32)
+        g_ref = jax.grad(lambda a, b: losses.ssim(a, b), argnums=(0, 1))(x, y)
+        g_fus = jax.grad(self._ssim_via_fused, argnums=(0, 1))(x, y)
+        for r, f in zip(g_ref, g_fus):
+            scale = float(jnp.max(jnp.abs(r))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(f) / scale, np.asarray(r) / scale, atol=1e-5
+            )
