@@ -33,11 +33,11 @@ BASELINE_PIX_PER_S = 15e6
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 300_000
 # Steady-state instance capacity: the training loop auto-sizes the buffer to
-# 1.5x the live instance count (this scene bins 768,651 instances with the
-# tight alpha-support rects + exact ellipse-tile intersection masks); every
-# per-instance binning cost scales with capacity, so bench uses the capacity
-# real training settles at.
-MAX_INSTANCES = 1_153_024
+# 1.4x the live instance count rounded up to a 64k quantum (this scene bins
+# 768,651 instances with the tight alpha-support rects + exact ellipse-tile
+# intersection masks); every per-instance binning cost scales with capacity,
+# so bench uses the capacity real training settles at.
+MAX_INSTANCES = 1_114_112
 WARMUP, ITERS = 3, 10
 
 

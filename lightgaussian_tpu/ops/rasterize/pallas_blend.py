@@ -385,23 +385,26 @@ def _bwd_kernel(
             f, lx, ly, ox, oy, pix_valid, _row_valid(chunk_base, k, start, end)
         )
         om = 1.0 - alpha
+        # Issue the MXU dot before the (VPU-only) scans so it overlaps them.
+        col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
+        cw = jnp.dot(col, g, preferred_element_type=jnp.float32, precision=_HI)  # [G, PIX]
         incl = _inclusive_scan_mul(om)
         t_i = t_naive * _shift_down(incl, 1, 1.0)
         apply = (t_i * om) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)
-
-        col = f[:, FEAT_R:FEAT_B + 1]  # [G, 3]
-        cw = jnp.dot(col, g, preferred_element_type=jnp.float32, precision=_HI)  # [G, PIX]
         contrib = cw * w
         incl_prefix = _inclusive_scan_add(contrib)
         r_i = r_carry - incl_prefix  # remaining contribution after i (incl. bg)
-        d_alpha = jnp.where(apply, cw * t_i - r_i / (1.0 - alpha), 0.0)
+        d_alpha = cw * t_i - r_i / (1.0 - alpha)
 
         # Chain through alpha = min(0.99, opa * exp(power)); the clamp and the
         # eligibility gates are non-differentiable cutoffs (as in CUDA).
-        unclamped = ex["alpha_raw"] < MAX_ALPHA
-        d_alpha_raw = jnp.where(unclamped & ex["elig"], d_alpha, 0.0)
-        d_power = d_alpha_raw * ex["alpha_raw"]  # [G, PIX]
+        # Masks fold cheaply: `alpha` is already zero on ineligible/masked
+        # lanes (so multiplying by it kills them — alpha == alpha_raw on the
+        # surviving lanes), leaving one select each for the clamp and the
+        # `apply` cutoff (whose unmasked d_alpha holds garbage from w == 0).
+        live = (ex["alpha_raw"] < MAX_ALPHA) & apply
+        d_power = jnp.where(live, d_alpha, 0.0) * alpha  # [G, PIX]
 
         dxf, dyf = ex["dx"], ex["dy"]
         # Shared-subexpression moments: q1 = d_power*dx, q2 = d_power*dy give

@@ -182,7 +182,14 @@ def train(
         else:
             shrink_streak = 0
         if resize:
-            new_cap = max(((int(inst_used * 1.5) + 127) // 128) * 128, 1024)
+            # 1.4x headroom over the live count: every per-instance binning op
+            # taxes CAPACITY, so thinner headroom buys step time directly; the
+            # 0.85 grow trigger still leaves 15% for camera-to-camera variance
+            # before a (one-step, self-healing) overflow truncation. Large
+            # buffers round up to 64k so repeat runs hit the compile cache.
+            new_cap = max(int(inst_used * 1.4), 1024)
+            quantum = 65536 if new_cap > 500_000 else 128
+            new_cap = ((new_cap + quantum - 1) // quantum) * quantum
             print(
                 f"[{iteration}] instance buffer {inst_used} vs capacity "
                 f"{max_instances}; {resize}ing to {new_cap} (recompile)"
