@@ -33,7 +33,8 @@ EPS = 1e-5
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CodebookState:
-    embed: jnp.ndarray  # [K, D]
+    embed: jnp.ndarray  # [K, D] current codebook (embed_avg / smoothed size)
+    embed_avg: jnp.ndarray  # [K, D] EMA of weighted assigned-vector sums
     cluster_size: jnp.ndarray  # [K] EMA of (weighted) assignment counts
 
 
@@ -45,7 +46,15 @@ def init_codebook(key: jax.Array, codebook_size: int, dim: int, feats: jnp.ndarr
         embed = feats[idx]
     else:
         embed = jax.random.uniform(key, (codebook_size, dim), minval=-1.0, maxval=1.0)
-    return CodebookState(embed=embed.astype(jnp.float32), cluster_size=jnp.zeros((codebook_size,), jnp.float32))
+    embed = embed.astype(jnp.float32)
+    # cluster_size starts at 1 so embed == embed_avg / cluster_size holds from
+    # step 0; starting at 0 makes the first ratio (0.8 + 0.2c)/(0.2c) overshoot
+    # every code by ~3x and scramble the initial assignments.
+    return CodebookState(
+        embed=embed,
+        embed_avg=embed,
+        cluster_size=jnp.ones((codebook_size,), jnp.float32),
+    )
 
 
 def nearest_code(feats: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
@@ -58,7 +67,11 @@ def nearest_code(feats: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
 
 def _ema_step(state: CodebookState, chunk: jnp.ndarray, weight: jnp.ndarray, k_expire: int, axis_name: str | None = None) -> CodebookState:
     k_codes = state.embed.shape[0]
-    w = weight * (weight.size / jnp.maximum(weight.sum(), 1e-12))
+    # An all-zero-importance chunk (common: VQ candidates are the LEAST
+    # important Gaussians, whose GSS can be exactly 0) degrades to unweighted
+    # VQ instead of poisoning the codebook with 0/0 NaNs.
+    wsum = weight.sum()
+    w = jnp.where(wsum > 0.0, weight * (weight.size / jnp.maximum(wsum, 1e-12)), 1.0)
 
     idx = nearest_code(chunk, state.embed)
     cluster_batch = jax.ops.segment_sum(w, idx, num_segments=k_codes)
@@ -67,11 +80,15 @@ def _ema_step(state: CodebookState, chunk: jnp.ndarray, weight: jnp.ndarray, k_e
         cluster_batch = jax.lax.psum(cluster_batch, axis_name)
         embed_sum = jax.lax.psum(embed_sum, axis_name)
 
+    # Two-accumulator EMA (the reference's form, `vq.py:284-298`): EMA the
+    # numerator (embed_avg) and denominator (cluster_size) SEPARATELY and take
+    # their ratio. EMA-ing the per-chunk ratio instead injects multiplicative
+    # sampling noise (count_now / EMA(count)) that walks codes off their data.
     cluster_size = state.cluster_size * DECAY + cluster_batch * (1.0 - DECAY)
+    embed_avg = state.embed_avg * DECAY + embed_sum * (1.0 - DECAY)
     n = cluster_size.sum()
     smoothed = (cluster_size + EPS) / (n + k_codes * EPS) * n
-    target = embed_sum / smoothed[:, None]
-    embed = state.embed * DECAY + target * (1.0 - DECAY)
+    embed = embed_avg / jnp.maximum(smoothed, 1e-12)[:, None]
 
     if k_expire > 0:
         _, dead = jax.lax.top_k(-cluster_size, k_expire)
@@ -84,9 +101,14 @@ def _ema_step(state: CodebookState, chunk: jnp.ndarray, weight: jnp.ndarray, k_e
             wk = jax.lax.all_gather(wk, axis_name).reshape(-1)
             _, sel = jax.lax.top_k(wk, k_expire)
             cand = cand[sel]
+        # Revived codes get average inertia so one later no-assignment chunk
+        # doesn't immediately drag them away from the candidate vector.
+        c0 = jnp.maximum(n / k_codes, 1.0)
         embed = embed.at[dead].set(cand)
+        embed_avg = embed_avg.at[dead].set(cand * c0)
+        cluster_size = cluster_size.at[dead].set(c0)
 
-    return CodebookState(embed=embed, cluster_size=cluster_size)
+    return CodebookState(embed=embed, embed_avg=embed_avg, cluster_size=cluster_size)
 
 
 @partial(jax.jit, static_argnames=("iterations", "chunk", "k_expire"))

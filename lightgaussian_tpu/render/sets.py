@@ -23,7 +23,7 @@ def save_png(img, path: str | Path) -> None:
     """[3, H, W] float in [0,1] -> PNG (torchvision.utils.save_image analogue)."""
     from PIL import Image
 
-    arr = np.asarray(jnp.clip(img, 0.0, 1.0))
+    arr = np.asarray(jnp.clip(jnp.nan_to_num(img), 0.0, 1.0))
     arr = (arr.transpose(1, 2, 0) * 255.0 + 0.5).astype(np.uint8)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     Image.fromarray(arr).save(path)

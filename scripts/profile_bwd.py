@@ -22,7 +22,7 @@ from lightgaussian_tpu.utils.synthetic import default_camera, random_scene
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 300_000
-CAP = 1_153_024
+CAP = 1_114_112
 
 
 def timeit(name, fn, *args, iters=10):

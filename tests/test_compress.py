@@ -181,3 +181,23 @@ def test_sharded_codebook_training(rng):
     qr = np.asarray(ref.embed)[np.asarray(vq.nearest_code(feats, ref.embed))]
     err_ref = np.mean((qr - data) ** 2)
     assert err < max(3.0 * err_ref, 0.1)
+
+
+def test_zero_importance_codebook_stays_finite(rng):
+    """Regression: VQ candidates are the LEAST important Gaussians and can all
+    carry exactly-zero GSS. An all-zero-weight chunk must degrade to unweighted
+    VQ (n == 0 once made smoothed == 0 and 0/0 NaN-poisoned the codebook; found
+    by the on-chip e2e pipeline run). Also covers codebook_size >> n_vectors."""
+    data = rng.normal(size=(229, 27)).astype(np.float32)
+    feats = jnp.asarray(data)
+    imp = jnp.zeros((229,), jnp.float32)
+
+    key = jax.random.PRNGKey(3)
+    state0 = vq.init_codebook(key, 4096, 27, feats=feats)
+    state = vq.train_codebook(key, state0, feats, imp, iterations=50, chunk=512, k_expire=10)
+    assert np.isfinite(np.asarray(state.embed)).all()
+
+    q, idx = vq.quantize_with_fp16_codebook(feats, state.embed)
+    assert np.isfinite(np.asarray(q)).all()
+    # With 4096 codes seeded from 229 vectors, quantization error ~ fp16 noise.
+    assert float(jnp.abs(q - feats).max()) < 0.05
