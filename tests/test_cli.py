@@ -151,6 +151,34 @@ def test_vectree_cli(workspace, tmp_path):
         np.asarray(deq.means)[np.asarray(deq.alive)],
         np.asarray(orig.means)[np.asarray(orig.alive)], atol=1e-3,
     )
+    # Quantized SH features stay finite and usable (regression: a NaN-poisoned
+    # codebook once passed the structural checks above while every VQ'd
+    # Gaussian dequantized to NaN). Codebook 64 on a ~200-Gaussian scene keeps
+    # the reconstruction close.
+    alive_d, alive_o = np.asarray(deq.alive), np.asarray(orig.alive)
+    for attr in ("sh_dc", "sh_rest"):
+        got = np.asarray(getattr(deq, attr))[alive_d]
+        want = np.asarray(getattr(orig, attr))[alive_o]
+        assert np.isfinite(got).all(), f"non-finite dequantized {attr}"
+        assert float(np.abs(got - want).mean()) < 0.25
+
+    # --load_vq render path: the VQ-compressed checkpoint must render the test
+    # views essentially as well as the raw one (verify_cli2 drive semantics).
+    dataset, _ = workspace
+    import shutil
+
+    from lightgaussian_tpu.cli import metrics as metrics_cli
+    from lightgaussian_tpu.cli import render_sets as render_cli
+
+    vq_iter_dir = model / "point_cloud" / "iteration_41"
+    shutil.copytree(tmp_path / "extreme_saving", vq_iter_dir / "extreme_saving",
+                    dirs_exist_ok=True)
+    render_cli.main(["-s", str(dataset), "-m", str(model), "--eval", "--quiet",
+                     "--iteration", "41", "--skip_train", "--interpret", "--load_vq"])
+    metrics_cli.main(["-m", str(model)])
+    results = json.loads((model / "results.json").read_text())
+    assert "ours_41" in results and "ours_40" in results
+    assert results["ours_41"]["PSNR"] > results["ours_40"]["PSNR"] - 1.0
 
 
 def test_full_eval_metrics_phase(workspace):
