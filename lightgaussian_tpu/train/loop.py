@@ -112,8 +112,10 @@ def train(
     plus `lr_mult_fn` it is the finetune loop of `prune_finetune.py`.
     """
     opt: OptimizationParams = cfg.opt
-    cams = scene.getTrainCameras()
-    test_cams = scene.getTestCameras()
+    # Stage every camera's arrays (incl. gt images) on device ONCE; numpy
+    # leaves would otherwise re-transfer on each dispatch.
+    cams = jax.device_put(scene.getTrainCameras())
+    test_cams = jax.device_put(scene.getTestCameras())
     if state is None:
         state = init_train_state(scene.gaussians)
     if max_instances is None:
@@ -134,6 +136,45 @@ def train(
     ema_loss = 0.0
     model_path = Path(scene.model_path)
 
+    # Host-sync decoupling: consuming metrics.loss (a device->host transfer)
+    # right after step_fn would serialize every iteration on the dispatch
+    # round-trip. Steps are dispatched async and their metrics consumed
+    # SYNC_LAG iterations later, so the device pipelines several steps while
+    # the host runs ahead (the reference blocks per iter on loss.item(),
+    # `train_densify_prune.py:145`; on TPU that stall is avoidable).
+    SYNC_LAG = 8
+    pending: list = []  # [(iteration, metrics), ...] oldest first
+
+    def consume_metrics(now: int, force: bool = False) -> None:
+        nonlocal ema_loss, shrink_streak, resize_request
+        ready = []
+        while pending and (force or pending[0][0] <= now - SYNC_LAG):
+            ready.append(pending.pop(0))
+        if not ready:
+            return
+        # ONE batched transfer for every drained entry: each scalar fetch pays
+        # a full host<->device round trip, which at ~2 fetches/iteration can
+        # rival the step itself on high-latency links.
+        fetched = jax.device_get([(m.loss, m.num_instances) for _, m in ready])
+        for (it0, _), (loss, inst_used) in zip(ready, fetched):
+            loss = float(loss)
+            ema_loss = 0.4 * loss + 0.6 * ema_loss if it0 > first_iter + 1 else loss
+            logger.scalar("train_loss_patches/total_loss", loss, it0)
+            inst_used = int(inst_used)
+            if inst_used > 0.85 * max_instances:
+                resize_request = ("grow", inst_used, it0)
+                shrink_streak = 0
+            elif inst_used < 0.4 * max_instances and inst_used > 0:
+                shrink_streak += 1
+                if shrink_streak >= 30:
+                    resize_request = ("shrink", inst_used, it0)
+                    shrink_streak = 0
+            else:
+                shrink_streak = 0
+
+    resize_request = None
+    last_print_t = time.time()
+
     gui_render = None
     if gui is not None:
         def gui_render(cam, scale_mod, _eval=eval_fn):
@@ -147,9 +188,10 @@ def train(
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
         if gui is not None:
+            timer.pause()  # viewer time excluded, like eval/save below
             gui.poll(gui_render, gui_source_path, iteration >= opt.iterations)
 
-        timer.start()
+        timer.resume()
 
         if sh_degree_interval and iteration % sh_degree_interval == 0:
             state = dataclasses.replace(state, scene=state.scene.one_up_sh_degree())
@@ -159,9 +201,11 @@ def train(
         cam = camera_stack.pop(rng.randrange(len(camera_stack)))
 
         state, metrics = step_fn(state, cam, bg)
-        loss = float(metrics.loss)
-        jax.block_until_ready(state.scene.means)
-        elapsed = timer.stop()
+        pending.append((iteration, metrics))
+        if iteration % SYNC_LAG == 0:
+            # Bulk-synchronous pipelining: dispatch SYNC_LAG steps, then drain
+            # all their metrics in one batched transfer (one round trip).
+            consume_metrics(iteration, force=True)
 
         # Auto-size the instance buffer: grow BEFORE overflow starts truncating
         # splats (binning drops instances past capacity), and shrink when the
@@ -169,19 +213,11 @@ def train(
         # (sort, gathers, scatter, segment sums) scales with CAPACITY, not
         # live count, so an oversized buffer directly taxes the step time.
         # Both directions recompile once (compiles are cached by shape).
-        inst_used = int(metrics.num_instances)
-        resize = None
-        if inst_used > 0.85 * max_instances:
-            resize = "grow"
-            shrink_streak = 0
-        elif inst_used < 0.4 * max_instances and inst_used > 0:
-            shrink_streak += 1
-            if shrink_streak >= 30:
-                resize = "shrink"
-                shrink_streak = 0
-        else:
-            shrink_streak = 0
-        if resize:
+        # The trigger arrives SYNC_LAG iterations late; overflow in the gap
+        # truncates the deepest splats for a step or two and self-heals.
+        if resize_request is not None:
+            kind, inst_used, it0 = resize_request
+            resize_request = None
             # 1.4x headroom over the live count: every per-instance binning op
             # taxes CAPACITY, so thinner headroom buys step time directly; the
             # 0.85 grow trigger still leaves 15% for camera-to-camera variance
@@ -190,25 +226,29 @@ def train(
             new_cap = max(int(inst_used * 1.4), 1024)
             quantum = 65536 if new_cap > 500_000 else 128
             new_cap = ((new_cap + quantum - 1) // quantum) * quantum
-            print(
-                f"[{iteration}] instance buffer {inst_used} vs capacity "
-                f"{max_instances}; {resize}ing to {new_cap} (recompile)"
-            )
-            max_instances = new_cap
-            step_fn = make_train_step(
-                opt, scene.cameras_extent, max_instances,
-                lr_mult_fn=lr_mult_fn, update_densify_stats=densify,
-                interpret=interpret,
-            )
-            eval_fn = make_eval_render(max_instances, interpret=interpret)
+            if new_cap != max_instances:
+                print(
+                    f"[{iteration}] instance buffer {inst_used} (at {it0}) vs "
+                    f"capacity {max_instances}; {kind}ing to {new_cap} (recompile)"
+                )
+                max_instances = new_cap
+                step_fn = make_train_step(
+                    opt, scene.cameras_extent, max_instances,
+                    lr_mult_fn=lr_mult_fn, update_densify_stats=densify,
+                    interpret=interpret,
+                )
+                eval_fn = make_eval_render(max_instances, interpret=interpret)
 
-        ema_loss = 0.4 * loss + 0.6 * ema_loss if iteration > first_iter + 1 else loss
         if iteration % 100 == 0:
+            consume_metrics(iteration, force=True)
+            jax.block_until_ready(state.scene.means)
+            now = time.time()
+            its = 100.0 / max(now - last_print_t, 1e-9)
+            last_print_t = now
             print(
                 f"[{iteration}/{opt.iterations}] loss={ema_loss:.5f} "
-                f"alive={int(state.scene.num_alive())} {1.0/max(elapsed,1e-9):.1f} it/s"
+                f"alive={int(state.scene.num_alive())} {its:.1f} it/s"
             )
-        logger.scalar("train_loss_patches/total_loss", loss, iteration)
 
         # densification window (train_densify_prune.py:168-207)
         if densify and iteration < opt.densify_until_iter:
@@ -231,6 +271,7 @@ def train(
 
         # in-training GSS prune (train_densify_prune.py:198-205)
         if iteration in cfg.prune_iterations:
+            consume_metrics(iteration, force=True)
             i = cfg.prune_iterations.index(iteration)
             percent = cfg.prune_percent * (cfg.prune_decay**i)
             print(f"[{iteration}] GSS prune {percent:.2%} (pass {i})")
@@ -242,16 +283,21 @@ def train(
             print(f"  {before} -> {int(state.scene.num_alive())} gaussians")
 
         if iteration in cfg.test_iterations:
+            consume_metrics(iteration, force=True)
+            jax.block_until_ready(state.scene.means)
+            timer.pause()
             training_report(
                 logger, iteration, state.scene, eval_fn, test_cams,
                 cams[: min(5, len(cams))], bg, timer.total,
             )
 
         if iteration in cfg.save_iterations:
+            timer.pause()
             print(f"[{iteration}] Saving point cloud")
             scene.save(iteration, state.scene)
 
         if iteration in cfg.checkpoint_iterations:
+            timer.pause()
             print(f"[{iteration}] Saving checkpoint")
             ckpt_mod.save_checkpoint(
                 model_path / f"chkpnt{iteration}.npz", state, iteration, scene.cameras_extent
@@ -264,4 +310,6 @@ def train(
         if callbacks and callbacks.on_iteration:
             callbacks.on_iteration(iteration, state, metrics)
 
+    consume_metrics(opt.iterations, force=True)
+    timer.pause()
     return state

@@ -138,9 +138,16 @@ def training_report(
 
 
 class StepTimer:
-    """Per-iteration wall timing — the TPU stand-in for the reference's paired
-    cuda events (`train_densify_prune.py:66-67,108,141`). Call `start()` before
-    and `stop()` after `block_until_ready` on the step outputs."""
+    """Training wall-time accumulator — the TPU stand-in for the reference's
+    paired cuda events (`train_densify_prune.py:66-67,108,141`).
+
+    Two usage styles:
+    - synchronous loops: `start()` before / `stop()` after the blocked step;
+    - async-dispatch loops (train/loop.py): `resume()` when entering a
+      training section and `pause()` around excluded sections (eval renders,
+      checkpoint saves, viewer polling) — per-step host timing is meaningless
+      when the device works through a queue, so the honest quantity is wall
+      time spent in the training sections."""
 
     def __init__(self):
         self.total = 0.0
@@ -152,4 +159,13 @@ class StepTimer:
     def stop(self) -> float:
         dt = time.perf_counter() - self._t0
         self.total += dt
+        self._t0 = None
         return dt
+
+    def resume(self):
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
+
+    def pause(self):
+        if self._t0 is not None:
+            self.stop()

@@ -185,8 +185,10 @@ class TestLoopAutoGrow:
         from lightgaussian_tpu.utils.logging import MetricsLogger
 
         target_scene, student, cams = setup
+        # Enough iterations for the async-metrics lag (loop.SYNC_LAG) to drain:
+        # the resize trigger is consumed up to SYNC_LAG steps after overflow.
         cfg = TrainConfig(
-            opt=OptimizationParams(iterations=2, densify_from_iter=999),
+            opt=OptimizationParams(iterations=12, densify_from_iter=999),
             test_iterations=[], save_iterations=[], checkpoint_iterations=[],
             prune_iterations=[],
         )
