@@ -22,7 +22,7 @@ import numpy as np
 from lightgaussian_tpu.cli import common
 from lightgaussian_tpu.data.scene import Scene
 from lightgaussian_tpu.ops.rasterize import default_max_instances
-from lightgaussian_tpu.train import gss
+from lightgaussian_tpu.train import gss, loop
 from lightgaussian_tpu.train.checkpoint import load_checkpoint
 from lightgaussian_tpu.utils.general import safe_state
 
@@ -59,7 +59,7 @@ def main(argv=None) -> None:
     _, imp = gss.accumulate_gss(state.scene, cams, bg, max_instances, interpret)
     v_imp = gss.calculate_v_imp_score(state.scene, imp, args.v_pow)
     out = Path(model.model_path) / "imp_score.npz"
-    np.savez(out, np.asarray(v_imp))
+    loop.save_imp_score(out, state.scene, np.asarray(v_imp))
     print(f"Saved {out}")
 
     if args.show_imp_score:

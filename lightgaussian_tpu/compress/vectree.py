@@ -274,14 +274,24 @@ def quantize_scene(
 ):
     """End-to-end: scene -> VQ -> extreme_saving bundle + dequantized scene.
 
-    `importance` is indexed over scene capacity or alive rows (both accepted,
-    like imp_score.npz which stores capacity-aligned scores)."""
+    `importance` is indexed over alive rows (what imp_score.npz stores) or
+    over THIS scene's capacity; any other length is an alignment bug from a
+    different scene/checkpoint and is rejected rather than silently mixing
+    dead-slot zeros into the keep-set ranking."""
     cfg = cfg or VQConfig()
     feats = scene_to_feature_matrix(scene)
     n = feats.shape[0]
     imp = np.asarray(importance)
     if imp.shape[0] != n:
-        imp = imp[np.asarray(scene.alive)]
+        alive = np.asarray(scene.alive)
+        if imp.shape[0] == alive.shape[0]:
+            imp = imp[alive]
+        else:
+            raise ValueError(
+                f"imp_score length {imp.shape[0]} matches neither the scene's "
+                f"alive rows ({n}) nor its capacity ({alive.shape[0]}); the "
+                "scores were saved from a different checkpoint than input_path"
+            )
     result, qfeats = quantize_features(feats, imp, cfg, seed=seed, mesh=mesh)
     result.size_mb = save_extreme(save_path, feats, result, cfg)
     return result, feature_matrix_to_scene(load_extreme(Path(save_path) / "extreme_saving"))

@@ -273,10 +273,25 @@ def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int =
     return cs0[hi] - cs0[lo]
 
 
+# Instance offsets ride in f32 metadata rows (see bin_splats' packed `meta`
+# gather); above 2^24 they lose integer exactness and silently corrupt tile
+# assignment, so capacity is hard-capped there. 16.7M instances is ~8x the
+# steady-state of a 1M-Gaussian 1080p scene; beyond it, shard Gaussians over
+# the `gauss` mesh axis (parallel/gauss.py) instead of growing the buffer.
+MAX_CAPACITY = 1 << 24
+
+
 def instance_capacity(max_instances: int, grid: TileGrid) -> int:
     """Static capacity: requested live-instance budget rounded to whole chunks."""
     del grid  # compact layout needs no per-tile alignment headroom
-    return ((max_instances + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
+    cap = ((max_instances + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK
+    if cap > MAX_CAPACITY:
+        raise ValueError(
+            f"instance capacity {cap} exceeds MAX_CAPACITY {MAX_CAPACITY} "
+            "(f32 offset exactness in binning metadata); shard Gaussians over "
+            "the `gauss` mesh axis for scenes this dense"
+        )
+    return cap
 
 
 def pack_features(splats: Splats) -> jnp.ndarray:
@@ -407,5 +422,5 @@ def estimate_max_instances(num_gaussians: int, grid: TileGrid, avg_tiles_per_gau
     """Static instance-buffer capacity heuristic; the training driver grows it
     (with a recompile) if `Binning.total` ever approaches it."""
     m = int(num_gaussians * avg_tiles_per_gaussian)
-    m = max(m, 1 << 16)
+    m = min(max(m, 1 << 16), MAX_CAPACITY)
     return ((m + INST_CHUNK - 1) // INST_CHUNK) * INST_CHUNK

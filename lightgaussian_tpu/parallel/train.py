@@ -75,17 +75,19 @@ def make_parallel_train_step(
 
         def loss_fn(params, offset):
             s = state.scene.with_params(params)
-            strip, _ft, total, _ = render_strip(
+            strip, _ft, total, splats = render_strip(
                 s, camera, bg, y0, strip_h, max_instances, offset, interpret
             )
             full = jax.lax.all_gather(strip, SPACE_AXIS, axis=1, tiled=True)
             l1 = losses.l1_loss(full, gt)
             ssim_v = losses.ssim(full, gt)
             loss = (1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1.0 - ssim_v)
-            return loss, (full, total, l1)
+            # radii ride the aux so densify stats don't pay a second O(N)
+            # preprocess of every Gaussian after the grad pass
+            return loss, (full, total, l1, splats.radius)
 
         offset0 = jnp.zeros((cap, 2), jnp.float32)
-        (loss, (full, total, l1)), (grads, offset_grad) = jax.value_and_grad(
+        (loss, (full, total, l1, radius)), (grads, offset_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.scene.params(), offset0)
 
@@ -104,8 +106,7 @@ def make_parallel_train_step(
         # Densification statistics (visibility = seen in ANY shard; the
         # reference accumulates per-iteration over its single camera —
         # here a camera batch contributes one accumulation per camera).
-        splats = preprocess(state.scene, camera)
-        radii_local = jnp.where(splats.radius > 0, splats.radius, 0)
+        radii_local = jnp.where(radius > 0, radius, 0)
         radii = jax.lax.pmax(jax.lax.pmax(radii_local, SPACE_AXIS), DATA_AXIS)
         visible = (radii > 0) & scene.alive
         if update_densify_stats:

@@ -19,19 +19,27 @@ from lightgaussian_tpu.models.gaussians import GaussianScene
 from lightgaussian_tpu.ops.rasterize import count_render
 
 
-def accumulate_gss(scene: GaussianScene, cameras: Iterable[Camera], bg, max_instances: int, interpret: bool = False):
-    """Sum per-Gaussian (hit_count, important_score) over all cameras
-    (`prune.py:133-157`). Python loop over cameras, jitted per-camera pass."""
-
+@functools.lru_cache(maxsize=None)
+def _count_one(max_instances: int, interpret: bool):
+    # Module-level jit cache: a fresh @jax.jit closure per accumulate_gss call
+    # would retrace (and on remote-compile setups recompile) the counting
+    # renderer on every GSS prune / imp-score export.
     @jax.jit
-    def one(scene, camera):
+    def one(scene, camera, bg):
         out = count_render(scene, camera, bg, max_instances=max_instances, interpret=interpret)
         return out.gaussians_count, out.important_score
 
+    return one
+
+
+def accumulate_gss(scene: GaussianScene, cameras: Iterable[Camera], bg, max_instances: int, interpret: bool = False):
+    """Sum per-Gaussian (hit_count, important_score) over all cameras
+    (`prune.py:133-157`). Python loop over cameras, jitted per-camera pass."""
+    one = _count_one(int(max_instances), bool(interpret))
     counts = jnp.zeros((scene.capacity,), jnp.int64 if jax.config.x64_enabled else jnp.int32)
     imp = jnp.zeros((scene.capacity,), jnp.float32)
     for cam in cameras:
-        c, s = one(scene, cam)
+        c, s = one(scene, cam, bg)
         counts = counts + c
         imp = imp + s
     return counts, imp

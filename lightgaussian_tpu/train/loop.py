@@ -58,9 +58,15 @@ def make_profiler_callback(trace_dir: str, start_iter: int = 100, n_steps: int =
 
 def save_imp_score(path: str | Path, scene, v_imp: np.ndarray) -> None:
     """`imp_score.npz` (`train_densify_prune.py:222-225`,
-    `utils/save_imp_score.py:36-57`): capacity-aligned array under the key
-    the reference uses."""
-    np.savez(Path(path), np.asarray(v_imp))
+    `utils/save_imp_score.py:36-57`): one score per ALIVE Gaussian, in PLY row
+    order — the file must align with the packed `point_cloud.ply` that the VQ
+    CLI reads back, not with this training run's (grown, hole-punched)
+    capacity layout."""
+    v = np.asarray(v_imp)
+    alive = np.asarray(scene.alive)
+    if v.shape[0] == alive.shape[0]:
+        v = v[alive]
+    np.savez(Path(path), v)
 
 
 def gss_prune(
@@ -138,18 +144,17 @@ def train(
 
     # Host-sync decoupling: consuming metrics.loss (a device->host transfer)
     # right after step_fn would serialize every iteration on the dispatch
-    # round-trip. Steps are dispatched async and their metrics consumed
-    # SYNC_LAG iterations later, so the device pipelines several steps while
-    # the host runs ahead (the reference blocks per iter on loss.item(),
-    # `train_densify_prune.py:145`; on TPU that stall is avoidable).
+    # round-trip. Steps dispatch async; every SYNC_LAG iterations the pending
+    # metrics drain in one batched transfer (bulk-synchronous pipelining — the
+    # reference blocks per iter on loss.item(), `train_densify_prune.py:145`;
+    # on TPU that stall is avoidable).
     SYNC_LAG = 8
     pending: list = []  # [(iteration, metrics), ...] oldest first
 
-    def consume_metrics(now: int, force: bool = False) -> None:
+    def consume_metrics() -> None:
+        """Drain ALL pending step metrics (blocks on the newest one)."""
         nonlocal ema_loss, shrink_streak, resize_request
-        ready = []
-        while pending and (force or pending[0][0] <= now - SYNC_LAG):
-            ready.append(pending.pop(0))
+        ready, pending[:] = list(pending), []
         if not ready:
             return
         # ONE batched transfer for every drained entry: each scalar fetch pays
@@ -174,6 +179,7 @@ def train(
 
     resize_request = None
     last_print_t = time.time()
+    white_background = bool(np.all(np.asarray(bg) == 1.0))
 
     gui_render = None
     if gui is not None:
@@ -205,7 +211,7 @@ def train(
         if iteration % SYNC_LAG == 0:
             # Bulk-synchronous pipelining: dispatch SYNC_LAG steps, then drain
             # all their metrics in one batched transfer (one round trip).
-            consume_metrics(iteration, force=True)
+            consume_metrics()
 
         # Auto-size the instance buffer: grow BEFORE overflow starts truncating
         # splats (binning drops instances past capacity), and shrink when the
@@ -226,6 +232,15 @@ def train(
             new_cap = max(int(inst_used * 1.4), 1024)
             quantum = 65536 if new_cap > 500_000 else 128
             new_cap = ((new_cap + quantum - 1) // quantum) * quantum
+            from lightgaussian_tpu.ops.rasterize.binning import MAX_CAPACITY
+
+            if new_cap > MAX_CAPACITY:
+                print(
+                    f"[{iteration}] instance buffer request {new_cap} clamped "
+                    f"to MAX_CAPACITY {MAX_CAPACITY} (deepest splats will be "
+                    "truncated; consider the gauss-sharded parallel mode)"
+                )
+                new_cap = MAX_CAPACITY
             if new_cap != max_instances:
                 print(
                     f"[{iteration}] instance buffer {inst_used} (at {it0}) vs "
@@ -240,7 +255,7 @@ def train(
                 eval_fn = make_eval_render(max_instances, interpret=interpret)
 
         if iteration % 100 == 0:
-            consume_metrics(iteration, force=True)
+            consume_metrics()
             jax.block_until_ready(state.scene.means)
             now = time.time()
             its = 100.0 / max(now - last_print_t, 1e-9)
@@ -266,12 +281,16 @@ def train(
                     new_cap = ((int(cap * 3 // 2) + 127) // 128) * 128
                     print(f"[{iteration}] gaussians near capacity {cap}; growing to {new_cap} (recompile)")
                     state = grow_capacity(state, new_cap)
-            if iteration % opt.opacity_reset_interval == 0:
+            if iteration % opt.opacity_reset_interval == 0 or (
+                white_background and iteration == opt.densify_from_iter
+            ):
+                # the white-background branch culls background-colored floaters
+                # early (train_densify_prune.py:194-196)
                 state = densify_mod.reset_opacity(state)
 
         # in-training GSS prune (train_densify_prune.py:198-205)
         if iteration in cfg.prune_iterations:
-            consume_metrics(iteration, force=True)
+            consume_metrics()
             i = cfg.prune_iterations.index(iteration)
             percent = cfg.prune_percent * (cfg.prune_decay**i)
             print(f"[{iteration}] GSS prune {percent:.2%} (pass {i})")
@@ -283,7 +302,7 @@ def train(
             print(f"  {before} -> {int(state.scene.num_alive())} gaussians")
 
         if iteration in cfg.test_iterations:
-            consume_metrics(iteration, force=True)
+            consume_metrics()
             jax.block_until_ready(state.scene.means)
             timer.pause()
             training_report(
@@ -310,6 +329,6 @@ def train(
         if callbacks and callbacks.on_iteration:
             callbacks.on_iteration(iteration, state, metrics)
 
-    consume_metrics(opt.iterations, force=True)
+    consume_metrics()
     timer.pause()
     return state

@@ -128,6 +128,11 @@ def test_save_imp_score_cli(workspace):
                          "--show_imp_score", "--interpret"])
     scores = np.load(model / "imp_score.npz")["arr_0"]
     assert scores.ndim == 1 and np.isfinite(scores).all() and scores.max() > 0
+    # Regression: scores must align row-for-row with the packed point_cloud.ply
+    # the VQ CLI consumes (capacity-aligned saves crash or silently mis-weight
+    # quantization after any pruned/grown training run).
+    ply = ply_io.load_gaussian_ply(model / "point_cloud/iteration_40/point_cloud.ply")
+    assert scores.shape[0] == int(ply.num_alive())
 
 
 def test_vectree_cli(workspace, tmp_path):
