@@ -108,8 +108,22 @@ def main(argv=None) -> None:
 
     camera_stack = []
     ema = 0.0
+    # Async metrics draining, as in train/loop.py: steps dispatch without a
+    # per-iteration host sync; losses drain in one batched transfer every 8.
+    pending = []
+
+    def drain():
+        nonlocal ema
+        ready, pending[:] = list(pending), []
+        if not ready:
+            return
+        for (it0, _), loss in zip(ready, jax.device_get([m.loss for _, m in ready])):
+            loss = float(loss)
+            ema = 0.4 * loss + 0.6 * ema if it0 > first_iter + 1 else loss
+            logger.scalar("distill/loss", loss, it0)
+
     for iteration in range(first_iter + 1, args.iterations_total + 1):
-        timer.start()
+        timer.resume()
         if not camera_stack:
             camera_stack = list(cams)
         cam = camera_stack.pop(prand.randrange(len(camera_stack)))
@@ -118,26 +132,33 @@ def main(argv=None) -> None:
             cam = gaussian_pose(cam, rng)
 
         state, metrics = step_fn(state, teacher, cam, bg)
-        loss = float(metrics.loss)
-        jax.block_until_ready(state.scene.sh_dc)
-        timer.stop()
-        ema = 0.4 * loss + 0.6 * ema if iteration > first_iter + 1 else loss
+        pending.append((iteration, metrics))
+        if iteration % 8 == 0:
+            drain()
         if iteration % 100 == 0:
+            drain()
+            jax.block_until_ready(state.scene.sh_dc)
             print(f"[{iteration}/{args.iterations_total}] distill loss={ema:.6f}")
-        logger.scalar("distill/loss", loss, iteration)
 
         if iteration in args.test_iterations:
+            drain()
+            jax.block_until_ready(state.scene.sh_dc)
+            timer.pause()
             training_report(
                 logger, iteration, state.scene, eval_fn, test_cams,
                 cams[: min(5, len(cams))], bg, timer.total,
             )
         if iteration in args.save_iterations:
+            timer.pause()
             scene.save(iteration, state.scene)
         if iteration in args.checkpoint_iterations:
+            timer.pause()
             ckpt_mod.save_checkpoint(
                 Path(out) / f"chkpnt{iteration}.npz", state, iteration, scene.cameras_extent
             )
 
+    drain()
+    timer.pause()
     # final imp_score export (distill_train.py:174-183)
     _, imp = gss.accumulate_gss(state.scene, cams, bg, max_instances, interpret)
     v_imp = gss.calculate_v_imp_score(state.scene, imp, args.v_pow)
