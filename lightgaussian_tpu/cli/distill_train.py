@@ -129,7 +129,9 @@ def main(argv=None) -> None:
         cam = camera_stack.pop(prand.randrange(len(camera_stack)))
         # 2 of 3 iterations use a perturbed pose (distill_train.py:132-137)
         if args.augmented_view and iteration % 3 != 0:
-            cam = gaussian_pose(cam, rng)
+            # reference jitter: translation sigma 0.05, NO rotation jitter
+            # (distill_train.py:133)
+            cam = gaussian_pose(cam, rng, std_translation=0.05, std_rotation=0.0)
 
         state, metrics = step_fn(state, teacher, cam, bg)
         pending.append((iteration, metrics))

@@ -218,9 +218,13 @@ def _fwd_kernel(
         k, t_naive, _, _ = state
         return (k < nchunks) & (jnp.max(t_naive) >= T_EPS)
 
+    # Seed t_naive = 0 on out-of-image lanes: their alpha is always 0, so
+    # they'd otherwise pin max(t_naive) at 1 and edge tiles (e.g. the whole
+    # bottom row at 1080p on a 32-padded grid) could never early-exit. w and
+    # t_act are unaffected (alpha and apply are already masked by pix_valid).
     init = (
         jnp.int32(0),
-        jnp.ones((1, PIX), jnp.float32),
+        jnp.where(pix_valid, 1.0, 0.0),
         jnp.ones((1, PIX), jnp.float32),
         jnp.zeros((3, PIX), jnp.float32),
     )
@@ -462,7 +466,9 @@ def _bwd_kernel(
         k, t_naive, _ = state
         return (k < nchunks) & (jnp.max(t_naive) >= T_EPS)
 
-    init = (jnp.int32(0), jnp.ones((1, PIX), jnp.float32), r_init_ref[0])
+    # Out-of-image lanes seed t_naive = 0 so edge tiles can early-exit (their
+    # d_power is already pix_valid-masked; r on those lanes is zero-padded).
+    init = (jnp.int32(0), jnp.where(pix_valid, 1.0, 0.0), r_init_ref[0])
     k_end, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Early exit: drain the in-flight DMA, then zero-fill the skipped chunks

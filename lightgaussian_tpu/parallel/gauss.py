@@ -179,13 +179,16 @@ def make_gauss_train_step(
                 jnp.maximum(state.max_radii2d, radii.astype(jnp.float32)),
                 state.max_radii2d,
             )
-            # Per-camera screenspace grad norms, summed over the camera batch
-            # (matches parallel/train.py and the reference's per-iteration
-            # accumulation, `scene/gaussian_model.py:784-788`).
+            # Per-camera accounting, as if the batch ran as n_data sequential
+            # reference iterations (`scene/gaussian_model.py:784-788`): accum
+            # gets the SUM of per-camera grad norms, denom the NUMBER of
+            # cameras that saw the Gaussian (an OR would inflate the densify
+            # gradient average by up to n_data).
             gnorm = jax.lax.psum(jnp.linalg.norm(offset_grad, axis=-1), DATA_AXIS)
-            seen = jax.lax.psum(visible.astype(jnp.float32), DATA_AXIS) > 0
-            accum = state.xyz_grad_accum + jnp.where(seen, gnorm, 0.0)
-            denom = state.denom + seen.astype(jnp.float32)
+            vis_cam = (radius_local > 0) & scene.alive
+            seen_cnt = jax.lax.psum(vis_cam.astype(jnp.float32), DATA_AXIS)
+            accum = state.xyz_grad_accum + jnp.where(seen_cnt > 0, gnorm, 0.0)
+            denom = state.denom + seen_cnt
         else:
             max_radii, accum, denom = state.max_radii2d, state.xyz_grad_accum, state.denom
 

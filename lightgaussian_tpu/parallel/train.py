@@ -115,11 +115,18 @@ def make_parallel_train_step(
                 jnp.maximum(state.max_radii2d, radii.astype(jnp.float32)),
                 state.max_radii2d,
             )
+            # Per-camera accounting, as if the batch ran as n_data sequential
+            # reference iterations: accum gets the SUM of per-camera grad
+            # norms, and denom gets the NUMBER of cameras that saw the
+            # Gaussian (an OR here would inflate accum/denom by up to n_data).
             gnorm = jnp.linalg.norm(offset_grad, axis=-1)
             gnorm = jax.lax.psum(gnorm, DATA_AXIS)
-            seen = jax.lax.psum(visible.astype(jnp.float32), DATA_AXIS) > 0
-            accum = state.xyz_grad_accum + jnp.where(seen, gnorm, 0.0)
-            denom = state.denom + seen.astype(jnp.float32)
+            vis_cam = (
+                jax.lax.psum((radii_local > 0).astype(jnp.float32), SPACE_AXIS) > 0
+            ) & scene.alive
+            seen_cnt = jax.lax.psum(vis_cam.astype(jnp.float32), DATA_AXIS)
+            accum = state.xyz_grad_accum + jnp.where(seen_cnt > 0, gnorm, 0.0)
+            denom = state.denom + seen_cnt
         else:
             max_radii, accum, denom = state.max_radii2d, state.xyz_grad_accum, state.denom
 

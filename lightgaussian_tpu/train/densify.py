@@ -112,11 +112,15 @@ def densify_and_prune(
     new_alive = new_alive.at[split_tgt].set(True, mode="drop")
 
     # --- prune (gaussian_model.py:745-760): low opacity, and when
-    # max_screen_size is set, oversized in screen or world space.
+    # max_screen_size is set, oversized in world space. NOTE the reference's
+    # screen-space branch (`max_radii2D > max_screen_size`) is a guaranteed
+    # no-op: densification_postfix re-creates max_radii2D as ZEROS for every
+    # point (gaussian_model.py:664) right before densify_and_prune reads it
+    # (:754), so pruning on an all-time screen-radius max here would mass-cull
+    # foreground splats the reference keeps.
     opa = jax.nn.sigmoid(new_params["opacity_logits"])
     prune = opa < min_opacity
     if max_screen_size > 0:
-        prune = prune | (state.max_radii2d > max_screen_size)
         prune = prune | (jnp.exp(new_params["log_scales"]).max(axis=1) > 0.1 * extent)
     n_alive_before_prune = new_alive.sum()
     pruned = new_alive & prune
@@ -136,7 +140,10 @@ def densify_and_prune(
         state,
         scene=scene,
         opt=new_opt,
-        max_radii2d=jnp.where(new_alive, state.max_radii2d, 0.0),
+        # postfix zeroes max_radii2D for ALL slots (gaussian_model.py:664) —
+        # also prevents freed slots from leaking a stale radius max into
+        # children scattered there later.
+        max_radii2d=jnp.zeros_like(state.max_radii2d),
         xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
         denom=jnp.zeros_like(state.denom),
     )
@@ -153,11 +160,11 @@ def densify_and_prune(
 
 
 def prune_only(state: TrainState, min_opacity: float, extent: float, max_screen_size: int) -> TrainState:
-    """Standalone prune pass (used outside the densify window)."""
+    """Standalone prune pass (used outside the densify window). Screen-space
+    size is deliberately not used — see densify_and_prune."""
     scene = state.scene
     prune = scene.opacities < min_opacity
     if max_screen_size > 0:
-        prune = prune | (state.max_radii2d > max_screen_size)
         prune = prune | (scene.scales.max(axis=1) > 0.1 * extent)
     return dataclasses.replace(
         state, scene=dataclasses.replace(scene, alive=scene.alive & ~prune)

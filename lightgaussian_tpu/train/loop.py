@@ -86,7 +86,9 @@ def gss_prune(
     scores = {
         "important_score": imp,
         "v_important_score": v_imp,
-        "max_v_important_score": v_imp,
+        # imp * max-axis scaling (`prune_finetune.py:228-232`), NOT the
+        # volume-normalized v_imp
+        "max_v_important_score": imp * state.scene.scales.max(axis=1),
         "count": counts.astype(jnp.float32),
         "opacity": state.scene.opacities,
     }[prune_type]

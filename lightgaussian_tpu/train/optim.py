@@ -79,7 +79,12 @@ def adam_update(
         g = grads[k]
         mu = BETA1 * state.mu[k] + (1.0 - BETA1) * g
         nu = BETA2 * state.nu[k] + (1.0 - BETA2) * (g * g)
-        lr = lr_fns[k](step) * lr_mult
+        # The global multiplier (ExponentialLR in the finetune/distill drivers)
+        # never sticks to xyz in the reference: update_learning_rate OVERWRITES
+        # the xyz group's lr from its schedule every iteration
+        # (`gaussian_model.py:225-231`), so gamma-decay applies to the other
+        # groups only.
+        lr = lr_fns[k](step) * (1.0 if k == "means" else lr_mult)
         upd = lr * (mu / c1) / (jnp.sqrt(nu / c2) + EPS)
         mask = alive.reshape((-1,) + (1,) * (p.ndim - 1))
         new_p[k] = jnp.where(mask, p - upd, p)
