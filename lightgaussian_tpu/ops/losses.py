@@ -40,6 +40,21 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(m, 1e-20)))
 
 
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """`img2mse` (`loss_utils.py:88-92`): masked sum-of-squares / mask mass."""
+    if mask is None:
+        return mse(pred, target)
+    d = pred * mask - target * mask
+    return (d * d).sum() / (mask.sum() + 1e-5)
+
+
+def masked_mae(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """`img2mae` (`loss_utils.py:95-99`)."""
+    if mask is None:
+        return l1_loss(pred, target)
+    return jnp.abs(pred * mask - target * mask).sum() / (mask.sum() + 1e-5)
+
+
 @functools.lru_cache(maxsize=4)
 def _gaussian_taps(window_size: int, sigma: float):
     import numpy as np

@@ -290,3 +290,22 @@ class TestFusedSSIMMoments:
             np.testing.assert_allclose(
                 np.asarray(f) / scale, np.asarray(r) / scale, atol=1e-5
             )
+
+
+def test_masked_losses():
+    import numpy as np
+    from lightgaussian_tpu.ops import losses
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    m = jnp.asarray((rng.random((3, 8, 8)) > 0.5).astype(np.float32))
+    # mask=None degenerates to the unmasked means
+    assert float(losses.masked_mse(x, y)) == pytest.approx(float(losses.mse(x, y)))
+    assert float(losses.masked_mae(x, y)) == pytest.approx(float(losses.l1_loss(x, y)))
+    # reference formula: sum((x*m - y*m)^2) / (sum(m) + 1e-5)
+    d = np.asarray(x) * np.asarray(m) - np.asarray(y) * np.asarray(m)
+    want = (d**2).sum() / (np.asarray(m).sum() + 1e-5)
+    assert float(losses.masked_mse(x, y, m)) == pytest.approx(float(want), rel=1e-5)
+    want = np.abs(d).sum() / (np.asarray(m).sum() + 1e-5)
+    assert float(losses.masked_mae(x, y, m)) == pytest.approx(float(want), rel=1e-5)
