@@ -232,3 +232,46 @@ class TestLoopAutoGrow:
         out = capsys.readouterr().out
         assert "gaussians near capacity" in out, "capacity auto-grow did not trigger"
         assert state.scene.capacity > 128
+
+
+def test_lr_mult_excludes_means(setup):
+    """The global ExponentialLR multiplier must not stick to the xyz group —
+    the reference overwrites xyz lr from its schedule every iteration
+    (`gaussian_model.py:225-231`)."""
+    from lightgaussian_tpu.train import optim
+
+    _, student, _ = setup
+    opt = OptimizationParams()
+    lr_fns = optim.make_lr_fns(opt, spatial_lr_scale=1.0)
+    state = init_train_state(student)
+    params = student.params()
+    g = {k: jnp.ones_like(v) for k, v in params.items()}
+
+    p_base, _ = optim.adam_update(params, g, state.opt, lr_fns, jnp.int32(0), student.alive, 1.0)
+    p_mult, _ = optim.adam_update(params, g, state.opt, lr_fns, jnp.int32(0), student.alive, 0.5)
+    np.testing.assert_array_equal(p_base["means"], p_mult["means"])
+    assert not np.array_equal(p_base["sh_dc"], p_mult["sh_dc"])
+
+
+def test_densify_ignores_screen_radius(setup):
+    """Reference parity: big_points_vs is a no-op (postfix zeroes max_radii2D
+    before the prune reads it) — a huge all-time radius must not cull, and
+    max_radii2d must come out all-zero."""
+    import dataclasses as dc
+
+    from lightgaussian_tpu.train import densify
+
+    _, student, cams = setup
+    opt = OptimizationParams()
+    step = make_train_step(opt, 1.0, MAX_INST, interpret=True)
+    state = init_train_state(student)
+    state, _ = step(state, cams[0], BG)
+    state = dc.replace(state, max_radii2d=jnp.full_like(state.max_radii2d, 1e6))
+    n0 = int(state.scene.num_alive())
+    # extent large enough that the (legitimate) world-size prune can't fire
+    state2, report = densify.densify_and_prune(
+        state, 1e9, 0.0, 100.0, 20, opt.percent_dense, jax.random.key(0)
+    )
+    # nothing cloned/split (threshold huge), nothing pruned by the fake radii
+    assert int(state2.scene.num_alive()) == n0
+    assert float(state2.max_radii2d.max()) == 0.0
