@@ -12,8 +12,10 @@ reference's Table-5 progression (BASELINE.md): prune and distill should cost
 
 Writes the stage table to E2E_TPU.md at the repo root.
 
-Usage: python scripts/e2e_quality.py  (~20-40 min incl. remote compiles)
+Usage: python scripts/e2e_quality.py [--preset small|large]
+(small ~25 min warm; large ~1-2 h incl. remote compiles)
 """
+import argparse
 import json
 import shutil
 import sys
@@ -38,14 +40,31 @@ from lightgaussian_tpu.ops.rasterize import render
 from lightgaussian_tpu.render.poses import camera_Rt
 from lightgaussian_tpu.utils.synthetic import random_scene
 
-OUT = Path("/tmp/e2e_scene")
-MODEL = Path("/tmp/e2e_model")
-W = H = 128
+_p = argparse.ArgumentParser()
+_p.add_argument("--preset", choices=["small", "large"], default="small")
+_ARGS = _p.parse_args()
+
+OUT = Path(f"/tmp/e2e_scene_{_ARGS.preset}")
+MODEL = Path(f"/tmp/e2e_model_{_ARGS.preset}")
 FOVX = 0.9
-N_TARGET = 3000
-TRAIN_ITERS = 800
-PRUNE_END = 1100
-DISTILL_END = 1400
+if _ARGS.preset == "large":
+    W = H = 256
+    N_TARGET = 8000
+    N_VIEWS = 24
+    TRAIN_ITERS = 2000
+    PRUNE_END = 2600
+    DISTILL_END = 3200
+    DENSIFY_UNTIL = 1200
+    CODEBOOK = 1024
+else:
+    W = H = 128
+    N_TARGET = 3000
+    N_VIEWS = 16
+    TRAIN_ITERS = 800
+    PRUNE_END = 1100
+    DISTILL_END = 1400
+    DENSIFY_UNTIL = 500
+    CODEBOOK = 256
 
 
 def make_dataset():
@@ -68,7 +87,7 @@ def make_dataset():
             eye = [3.0 * np.sin(ang), elev, -3.0 * np.cos(ang)]
             cam = Camera.look_at(eye=eye, target=[0, 0, 0], width=W, height=H, fovx=FOVX)
             img = render(target, cam, jnp.zeros((3,)), method="tiled",
-                         max_instances=262144).render
+                         max_instances=524288).render
             arr = np.clip(np.asarray(img).transpose(1, 2, 0) * 255, 0, 255).astype(np.uint8)
             name = f"{split}/r_{i}"
             Image.fromarray(arr).save(OUT / f"{name}.png")
@@ -81,11 +100,11 @@ def make_dataset():
         meta = {"camera_angle_x": FOVX, "frames": frames}
         (OUT / f"transforms_{split}.json").write_text(json.dumps(meta))
 
-    dump("train", 16, 0.0, 0.5)
+    dump("train", N_VIEWS, 0.0, 0.5)
     dump("test", 4, 0.19, 0.7)
 
     # Seed points: subsampled target means (skips the 100k random init).
-    idx = np.random.default_rng(0).choice(N_TARGET, 1500, replace=False)
+    idx = np.random.default_rng(0).choice(N_TARGET, N_TARGET // 2, replace=False)
     pts = np.asarray(target.means)[idx]
     cols = np.full((len(idx), 3), 0.5, np.float32)
     ply_mod.store_point_cloud(OUT / "points3d.ply", pts, cols)
@@ -119,7 +138,7 @@ def main():
         "--save_iterations", str(TRAIN_ITERS),
         "--checkpoint_iterations", str(TRAIN_ITERS),
         "--densify_from_iter", "100", "--densification_interval", "100",
-        "--densify_until_iter", "500",
+        "--densify_until_iter", str(DENSIFY_UNTIL),
         "--opacity_reset_interval", "10000",
         "--position_lr_max_steps", str(TRAIN_ITERS),
     ])
@@ -178,7 +197,7 @@ def main():
         "--important_score_npz_path", str(dl / "imp_score.npz"),
         "--input_path", str(dl_ply),
         "--save_path", str(vq_dir),
-        "--vq_ratio", "0.6", "--codebook_size", "256",
+        "--vq_ratio", "0.6", "--codebook_size", str(CODEBOOK),
         "--iteration_num", "300",
     ])
     render_sets.main(["-s", str(OUT), "-m", str(dl),
@@ -198,7 +217,7 @@ def main():
     lines = [
         "# End-to-end quality run on TPU (synthetic scene)",
         "",
-        f"Dataset: {N_TARGET}-Gaussian synthetic scene, 16 train / 4 test views at "
+        f"Dataset: {N_TARGET}-Gaussian synthetic scene, {N_VIEWS} train / 4 test views at "
         f"{W}x{H}; full pipeline driven through the real CLIs on one TPU chip "
         "(no interpret mode). Mirrors the reference's Table-5 stage progression "
         "(BASELINE.md).",
@@ -214,7 +233,7 @@ def main():
     lines += ["", f"Compression: {first_mb:.2f} MB -> {last_mb:.2f} MB "
               f"(**{first_mb / max(last_mb, 1e-9):.1f}x**), "
               f"PSNR {stages[0][1]['PSNR']:.2f} -> {stages[-1][1]['PSNR']:.2f} dB.", ""]
-    (REPO / "E2E_TPU.md").write_text("\n".join(lines))
+    (REPO / ("E2E_TPU.md" if _ARGS.preset == "small" else f"E2E_TPU_{_ARGS.preset}.md")).write_text("\n".join(lines))
     print("\n".join(lines), flush=True)
     print("E2E QUALITY: ALL OK", flush=True)
 
