@@ -35,6 +35,21 @@ def camera_Rt(camera: Camera) -> tuple[np.ndarray, np.ndarray]:
     return wv[:3, :3].T.astype(np.float64), wv[:3, 3].astype(np.float64)
 
 
+def c2w_from_camera(camera: Camera, blender: bool = False) -> np.ndarray:
+    """Camera -> camera-to-world 4x4. With `blender=True`, flips the Y/Z
+    columns into the convention `transforms_*.json` stores (which the Blender
+    reader undoes). Single source of the pose convention for dataset writers —
+    a hand-rolled copy once transposed R and silently misaligned every
+    synthetic-gt pose by ~0.1."""
+    R, T = camera_Rt(camera)  # R = cam2world rotation, T = w2c translation
+    c2w = np.eye(4)
+    c2w[:3, :3] = R
+    c2w[:3, 3] = -R @ T
+    if blender:
+        c2w[:3, 1:3] *= -1
+    return c2w
+
+
 def _c2w_poses(cams: list[Camera]) -> np.ndarray:
     """Cameras -> OpenGL-convention camera-to-world 4x4s (the `tmp_view`
     construction of `pose_utils.py:263-269`)."""

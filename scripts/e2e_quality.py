@@ -19,7 +19,6 @@ import argparse
 import json
 import shutil
 import sys
-import zipfile
 from pathlib import Path
 
 import numpy as np
@@ -37,7 +36,7 @@ import jax.numpy as jnp
 from lightgaussian_tpu.data import ply as ply_mod
 from lightgaussian_tpu.models.camera import Camera
 from lightgaussian_tpu.ops.rasterize import render
-from lightgaussian_tpu.render.poses import camera_Rt
+from lightgaussian_tpu.render.poses import c2w_from_camera
 from lightgaussian_tpu.utils.synthetic import random_scene
 
 _p = argparse.ArgumentParser()
@@ -91,11 +90,7 @@ def make_dataset():
             arr = np.clip(np.asarray(img).transpose(1, 2, 0) * 255, 0, 255).astype(np.uint8)
             name = f"{split}/r_{i}"
             Image.fromarray(arr).save(OUT / f"{name}.png")
-            R, t = camera_Rt(cam)
-            c2w = np.eye(4)
-            c2w[:3, :3] = R.T
-            c2w[:3, 3] = -R.T @ t
-            c2w[:3, 1:3] *= -1  # Blender convention
+            c2w = c2w_from_camera(cam, blender=True)
             frames.append({"file_path": f"./{name}", "transform_matrix": c2w.tolist()})
         meta = {"camera_angle_x": FOVX, "frames": frames}
         (OUT / f"transforms_{split}.json").write_text(json.dumps(meta))
@@ -204,11 +199,7 @@ def main():
                       "--iteration", str(DISTILL_END + 1), "--eval",
                       "--skip_train", "--load_vq"])
     metrics.main(["-m", str(dl)])
-    zip_path = vq_dir / "extreme_saving.zip"
-    if not zip_path.exists():  # zip the bundle like the reference's size report
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            for f in sorted((vq_dir / "extreme_saving").glob("*")):
-                z.write(f, f.name)
+    zip_path = vq_dir / "extreme_saving.zip"  # written by quantize_scene
     m = test_psnr(dl, which="latest")
     stages.append(("+ VecTree VQ 60%", m, zip_path.stat().st_size / 1e6))
     print("STAGE vq:", m, flush=True)

@@ -16,7 +16,7 @@ import pytest
 from lightgaussian_tpu.data import ply as ply_io
 from lightgaussian_tpu.models.camera import Camera
 from lightgaussian_tpu.ops.rasterize import render
-from lightgaussian_tpu.render.poses import camera_Rt
+from lightgaussian_tpu.render.poses import c2w_from_camera
 from lightgaussian_tpu.utils.synthetic import random_scene
 
 SIZE = 40
@@ -40,12 +40,7 @@ def _write_blender_dataset(root: Path) -> None:
             img = render(scene, cam, jnp.zeros(3), max_instances=MAXI, interpret=True).render
             arr = np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
             Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(d / f"r_{i}.png")
-            R, T = camera_Rt(cam)
-            w2c = np.eye(4)
-            w2c[:3, :3] = R.T
-            w2c[:3, 3] = T
-            c2w = np.linalg.inv(w2c)
-            c2w[:3, 1:3] *= -1  # Blender storage convention; reader undoes it
+            c2w = c2w_from_camera(cam, blender=True)
             frames.append({"file_path": f"./{split}/r_{i}", "transform_matrix": c2w.tolist()})
         (root / f"transforms_{split}.json").write_text(
             json.dumps({"camera_angle_x": 0.9, "frames": frames})
@@ -190,10 +185,14 @@ def test_full_eval_metrics_phase(workspace):
     _, model = workspace
     from lightgaussian_tpu.cli import full_eval
 
-    # metrics-only over existing model dirs
+    # metrics-only over existing model dirs; delete the results.json earlier
+    # tests wrote so the assertion can actually fail if full_eval's model-dir
+    # sweep regresses to evaluating nothing.
+    (model / "results.json").unlink()
     full_eval.main(["--skip_training", "--skip_rendering",
                     "--output_path", str(model.parent)])
-    assert (model / "results.json").exists()
+    results = json.loads((model / "results.json").read_text())
+    assert any(v.get("PSNR", 0) > 0 for v in results.values())
 
 
 def test_convert_pyramids(tmp_path):

@@ -67,7 +67,7 @@ def test_reader_dispatch_uses_native_and_falls_back(tmp_path, monkeypatch):
             via_native[k].point3D_ids, via_python[k].point3D_ids
         )
         assert via_native[k].name == via_python[k].name
-    monkeypatch.setattr(native, "_load_failed", False)  # restore for other tests
+    # monkeypatch auto-restores all patched attributes at teardown
 
 
 def test_truncated_images_bin_rejected(tmp_path):
