@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from pathlib import Path
 from typing import get_args, get_origin, get_type_hints
 
@@ -85,6 +86,43 @@ def get_combined_args(parser: argparse.ArgumentParser, argv=None) -> argparse.Na
             if hasattr(args, k) and getattr(args, k) == getattr(defaults, k, None):
                 setattr(args, k, v)
     return args
+
+
+def enable_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache for CLI runs.
+
+    Training recompiles on capacity growth (instance buffer / Gaussian slots),
+    and on a remote-compile setup each such compile costs tens of seconds —
+    cached, a repeat run (or the same capacity reached again) loads instantly.
+    Called explicitly from every CLI ``main()`` (never at import time, so
+    library imports don't mutate global JAX config). Opt out or relocate with
+    $JAX_COMPILATION_CACHE_DIR (empty string disables).
+    """
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_compile_cache")
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def add_debug_nans_flag(parser: argparse.ArgumentParser) -> None:
+    """`--debug_nans` — the TPU analogue of the reference's `--detect_anomaly`
+    (`/root/reference/train_densify_prune.py:237,267`): re-runs the op that
+    produced a NaN un-jitted and raises with a stack trace."""
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans: fail loudly at the op that produced a NaN",
+    )
+
+
+def apply_debug_flags(args: argparse.Namespace) -> None:
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 def interpret_default() -> bool:

@@ -11,6 +11,8 @@ Usage: python -m lightgaussian_tpu.cli.convert -s <scene_dir>  (expects input/)
 from __future__ import annotations
 
 import argparse
+
+from lightgaussian_tpu.cli import common
 import shutil
 import subprocess
 import sys
@@ -100,6 +102,7 @@ def build_pyramids(source_path: str | Path) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
     run_colmap(args)
     if args.resize:
         print("Copying and resizing...")

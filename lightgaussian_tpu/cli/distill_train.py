@@ -53,11 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--interpret", action="store_true", default=None)
+    common.add_debug_nans_flag(parser)
     return parser
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
+    common.apply_debug_flags(args)
     model, pipeline, opt = common.extract_standard(args)
     safe_state(args.quiet, seed=args.seed)
     interpret = common.interpret_default() if args.interpret is None else args.interpret

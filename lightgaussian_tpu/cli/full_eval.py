@@ -13,6 +13,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+
+from lightgaussian_tpu.cli import common
 from pathlib import Path
 
 MIPNERF360_OUTDOOR = ["bicycle", "flowers", "garden", "stump", "treehill"]
@@ -50,6 +52,7 @@ def scene_jobs(args) -> list[tuple[str, str, str]]:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
     jobs = scene_jobs(args)
     if not jobs and not args.skip_metrics:
         # metrics-only mode over whatever model dirs already exist

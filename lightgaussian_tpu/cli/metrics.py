@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import argparse
 
+from lightgaussian_tpu.cli import common
+
 from lightgaussian_tpu.eval.metrics import evaluate_model_paths
 
 
@@ -24,6 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
     evaluate_model_paths(args.model_paths, set_name=args.set_name)
 
 

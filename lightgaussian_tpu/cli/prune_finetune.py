@@ -51,11 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--interpret", action="store_true", default=None)
+    common.add_debug_nans_flag(parser)
     return parser
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
+    common.apply_debug_flags(args)
     model, pipeline, opt = common.extract_standard(args)
     if opt.iterations == 30_000:
         opt = dataclasses.replace(opt, iterations=35_000)

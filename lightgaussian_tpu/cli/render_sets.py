@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = common.get_combined_args(build_parser(), argv)
+    common.enable_compile_cache()
     model, pipeline, _ = common.extract_standard(args, opt=False)
     safe_state(args.quiet)
     interpret = common.interpret_default() if args.interpret is None else args.interpret

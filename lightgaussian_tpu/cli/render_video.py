@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--video", action="store_true")
     parser.add_argument("--circular", action="store_true")
     parser.add_argument("--spherify", action="store_true")
+    parser.add_argument("--spiral", action="store_true",
+                        help="flat FoV-derived spiral orbit (pose_utils.py:518-551 variant)")
     parser.add_argument("--radius", default=5.0, type=float)
     parser.add_argument("--gaussians", action="store_true")
     parser.add_argument("--mean", default=0.0, type=float)
@@ -45,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = common.get_combined_args(build_parser(), argv)
+    common.enable_compile_cache()
     model, _, _ = common.extract_standard(args, opt=False)
     safe_state(args.quiet)
     interpret = common.interpret_default() if args.interpret is None else args.interpret
@@ -85,6 +88,12 @@ def main(argv=None) -> None:
     if args.spherify:
         render_sets.render_trajectory(
             model.model_path, "spherify", scene.loaded_iter, cams,
+            scene.gaussians, bg, max_instances, n_frames=args.n_frames,
+            interpret=interpret,
+        )
+    if args.spiral:
+        render_sets.render_trajectory(
+            model.model_path, "spiral", scene.loaded_iter, cams,
             scene.gaussians, bg, max_instances, n_frames=args.n_frames,
             interpret=interpret,
         )

@@ -41,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
     model, _, _ = common.extract_standard(args, opt=False)
     safe_state(args.quiet)
     interpret = common.interpret_default() if args.interpret is None else args.interpret

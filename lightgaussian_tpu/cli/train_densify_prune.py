@@ -41,11 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_start", type=int, default=100)
     parser.add_argument("--profile_steps", type=int, default=5)
     parser.add_argument("--interpret", action="store_true", default=None)
+    common.add_debug_nans_flag(parser)
     return parser
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
+    common.apply_debug_flags(args)
     model, pipeline, opt = common.extract_standard(args)
     cfg = TrainConfig(
         model=model, pipeline=pipeline, opt=opt,

@@ -14,6 +14,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+
+from lightgaussian_tpu.cli import common
 from pathlib import Path
 
 import numpy as np
@@ -47,6 +49,7 @@ def resolve_imp_path(path: str | Path) -> Path:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    common.enable_compile_cache()
     scene = ply_io.load_gaussian_ply(args.input_path)
     sh_degree = args.sh_degree if args.sh_degree is not None else scene.max_sh_degree
     cfg = vt.VQConfig(

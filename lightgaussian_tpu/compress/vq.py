@@ -80,10 +80,14 @@ def _ema_step(state: CodebookState, chunk: jnp.ndarray, weight: jnp.ndarray, k_e
         cluster_batch = jax.lax.psum(cluster_batch, axis_name)
         embed_sum = jax.lax.psum(embed_sum, axis_name)
 
-    # Two-accumulator EMA (the reference's form, `vq.py:284-298`): EMA the
-    # numerator (embed_avg) and denominator (cluster_size) SEPARATELY and take
-    # their ratio. EMA-ing the per-chunk ratio instead injects multiplicative
-    # sampling noise (count_now / EMA(count)) that walks codes off their data.
+    # Two-accumulator EMA — a DELIBERATE divergence from the reference
+    # (`vq.py:284-298` EMAs the embedding toward each chunk's ratio
+    # embed_sum/smoothed(EMA(cluster_size)); its embed_avg buffer is never
+    # EMA-updated). We EMA the numerator (embed_avg) and denominator
+    # (cluster_size) SEPARATELY and take their ratio — the standard VQ-VAE
+    # form, better suited to chunked updates: EMA-ing the per-chunk ratio
+    # injects multiplicative sampling noise (count_now / EMA(count)) that
+    # walks codes off their data. Recorded in PARITY.md.
     cluster_size = state.cluster_size * DECAY + cluster_batch * (1.0 - DECAY)
     embed_avg = state.embed_avg * DECAY + embed_sum * (1.0 - DECAY)
     n = cluster_size.sum()
@@ -178,10 +182,15 @@ def train_codebook_sharded(
 
     keys = jax.random.split(key, n_dev)
     sharding = NamedSharding(mesh, P(axis))
+    # Pad by REPEATING real rows (not zeros): a zero-padded row carries
+    # importance 0, but if a sampled chunk were all-padding the wsum>0
+    # fallback in `_ema_step` would hand every pad row weight 1.0 and pull
+    # codes toward the zero vector. Repeated rows are legitimate data.
     pad = (-feats.shape[0]) % n_dev
     if pad:
-        feats = jnp.pad(feats, ((0, pad), (0, 0)))
-        importance = jnp.pad(importance, (0, pad))
+        rep = jnp.arange(pad) % feats.shape[0]
+        feats = jnp.concatenate([feats, feats[rep]], axis=0)
+        importance = jnp.concatenate([importance, importance[rep]], axis=0)
     feats = jax.device_put(feats, sharding)
     importance = jax.device_put(importance, sharding)
     return run(keys, state, feats, importance)

@@ -212,6 +212,37 @@ def generate_spiral_path(
     return np.stack(out, axis=0)
 
 
+def generate_spiral_path_focal(
+    cams: list[Camera],
+    zrate: float = 0.0,
+    n_rots: int = 1,
+    n_frames: int = 600,
+) -> np.ndarray:
+    """Second spiral variant (`pose_utils.py:518-551`): no scene bounds — the
+    look-at distance comes from the cameras themselves. Quirk preserved from
+    the reference: its `get_focal` (`pose_utils.py:28-30`) returns `FoVx`
+    (radians, not a focal length), and the accumulation loop adds `views[0]`'s
+    value len(views) times then divides — so "focal" is exactly the FIRST
+    camera's FoVx. Flat orbit by default (zrate=0, one rotation)."""
+    poses = _c2w_poses(cams)
+    focal = 2.0 * math.atan(float(cams[0].tan_fovx))  # FoVx in radians
+
+    positions = poses[:, :3, 3]
+    up = _normalize(poses[:, :3, 1].sum(0))
+    cam2world = viewmatrix(poses[:, :3, 2].mean(0), up, positions.mean(0))  # 3x4
+    radii = np.concatenate([np.percentile(np.abs(positions), 90, 0), [1.0]])
+
+    out = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames + 1)[:-1]:
+        c = cam2world @ (np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * radii)
+        z_axis = _normalize(c - cam2world @ np.array([0, 0, -focal, 1.0]))
+        pose = np.eye(4)
+        pose[:3] = viewmatrix(z_axis, up, c)
+        pose[:3, 1:3] *= -1
+        out.append(np.linalg.inv(pose))
+    return np.stack(out, axis=0)
+
+
 def generate_spherical_sample_path(
     cams: list[Camera], azimuthal_rots: float = 1.0, polar_rots: float = 0.75, n: int = 10
 ) -> list[np.ndarray]:

@@ -73,10 +73,11 @@ def render_trajectory(
     interpret: bool = False,
 ) -> Path:
     """Trajectory renders (`render_video.py:93-137`): kind in
-    {"ellipse", "circular", "spherical", "spherify"}; frames into
+    {"ellipse", "circular", "spherical", "spherify", "spiral"}; frames into
     `<kind>/ours_<it>/`."""
     out_name = {"ellipse": "video", "circular": "circular",
-                "spherical": "spherical", "spherify": "spherify"}[kind]
+                "spherical": "spherical", "spherify": "spherify",
+                "spiral": "spiral"}[kind]
     base = Path(model_path) / out_name / f"ours_{iteration}"
     fn = _make_render_fn(max_instances, interpret)
     template = cameras[0]
@@ -89,6 +90,9 @@ def render_trajectory(
         frames = [pose_gen.camera_from_w2c(p, template) for p in w2cs]
     elif kind == "spherify":
         w2cs = pose_gen.generate_spherify_path(cameras, n_frames=n_frames)
+        frames = [pose_gen.camera_from_w2c(p, template) for p in w2cs]
+    elif kind == "spiral":
+        w2cs = pose_gen.generate_spiral_path_focal(cameras, n_frames=n_frames)
         frames = [pose_gen.camera_from_w2c(p, template) for p in w2cs]
     else:
         ref_cam = cameras[min(13, len(cameras) - 1)]

@@ -168,6 +168,16 @@ def train(
             ema_loss = 0.4 * loss + 0.6 * ema_loss if it0 > first_iter + 1 else loss
             logger.scalar("train_loss_patches/total_loss", loss, it0)
             inst_used = int(inst_used)
+            if inst_used >= max_instances:
+                # The buffer filled to capacity: binning clamped, so the
+                # deepest splats of THIS step were actually truncated (the
+                # grow trigger below heals it, but up to SYNC_LAG iterations
+                # late — make the degradation window visible, not silent).
+                print(
+                    f"[{it0}] instance buffer overflow: {inst_used} >= "
+                    f"capacity {max_instances} — deepest splats truncated "
+                    "this step; growing"
+                )
             if inst_used > 0.85 * max_instances:
                 resize_request = ("grow", inst_used, it0)
                 shrink_streak = 0

