@@ -27,8 +27,15 @@ import numpy as np
 # VGG16 conv layout: (out_channels, n_convs) per block; relu slices after
 # indices 3, 8, 15, 22, 29 of torchvision's features module.
 _VGG_BLOCKS = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# richzhang input normalization, exactly as the reference applies it
+# (`modules/networks.py:40-46` z_score): these shift/scale constants assume
+# [-1,1] inputs upstream, but the reference pipeline (like Inria 3D-GS) feeds
+# [0,1] images straight in (`metrics.py:75`) — published 3D-GS LPIPS numbers
+# carry that quirk, so byte-matching it is the parity requirement
+# (cross-validated against the reference torch module in
+# tests/test_lpips_parity.py).
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,9 +98,9 @@ def convert_torch_lpips(vgg_state: dict, lin_state: dict, out_path: str | Path) 
 
 def _vgg_features(params: LPIPSParams, x: jnp.ndarray) -> list[jnp.ndarray]:
     """x: [N, 3, H, W] in [0, 1]. Returns the 5 relu-slice activations."""
-    mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
-    std = jnp.asarray(_IMAGENET_STD).reshape(1, 3, 1, 1)
-    h = (x - mean) / std
+    shift = jnp.asarray(_LPIPS_SHIFT).reshape(1, 3, 1, 1)
+    scale = jnp.asarray(_LPIPS_SCALE).reshape(1, 3, 1, 1)
+    h = (x - shift) / scale
 
     feats = []
     ci = 0

@@ -20,7 +20,11 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-CSV_FIELDS = ["iteration", "set", "l1_loss", "psnr", "ssim", "lpips", "file_size", "elapsed"]
+# The reference's column set (`logger_utils.py:65-75`) + `lpips_kind`: scores
+# from the seeded-random-VGG fallback (no pretrained weights on the box) are
+# NOT comparable to published LPIPS and must never masquerade as such.
+CSV_FIELDS = ["iteration", "set", "l1_loss", "psnr", "ssim", "lpips",
+              "lpips_kind", "file_size", "elapsed"]
 
 
 def prepare_output_dir(model_path: str | None, cfg=None) -> Path:
@@ -63,11 +67,12 @@ class MetricsLogger:
             self.tb.add_image(tag, np.asarray(jnp.clip(img, 0, 1)), int(step))
 
     def csv_row(self, iteration: int, set_name: str, l1: float, psnr: float,
-                ssim: float, lpips: float, file_size_mb: float, elapsed_s: float) -> None:
+                ssim: float, lpips: float, file_size_mb: float, elapsed_s: float,
+                lpips_kind: str = "vgg-random") -> None:
         with open(self.csv_path, "a", newline="") as f:
             csv.writer(f).writerow(
                 [iteration, set_name, f"{l1:.6f}", f"{psnr:.4f}", f"{ssim:.6f}",
-                 f"{lpips:.6f}", f"{file_size_mb:.3f}", f"{elapsed_s:.2f}"]
+                 f"{lpips:.6f}", lpips_kind, f"{file_size_mb:.3f}", f"{elapsed_s:.2f}"]
             )
 
     def close(self) -> None:
@@ -133,7 +138,8 @@ def training_report(
         for k, v in row.items():
             logger.scalar(f"{set_name}/loss_viewpoint - {k}", v, iteration)
         logger.csv_row(iteration, set_name, row["l1"], row["psnr"], row["ssim"],
-                       row["lpips"], size_mb, elapsed_s)
+                       row["lpips"], size_mb, elapsed_s,
+                       lpips_kind=lpips_params.kind)
     return results
 
 

@@ -217,8 +217,10 @@ def test_metrics_logger_csv(tmp_path):
     logger.csv_row(200, "train", 0.04, 26.0, 0.91, 0.09, 12.5, 120.0)
     rows = (tmp_path / "metric.csv").read_text().strip().split("\n")
     assert rows[0].split(",") == log_mod.CSV_FIELDS
+    assert "lpips_kind" in log_mod.CSV_FIELDS  # fallback scores must be tagged
     assert len(rows) == 3
     assert rows[1].startswith("100,test,0.05")
+    assert rows[1].split(",")[6] == "vgg-random"  # default when untagged
 
 
 def test_training_report(tmp_path):
@@ -239,6 +241,12 @@ def test_training_report(tmp_path):
     assert results["test"]["psnr"] > 40
     rows = (tmp_path / "metric.csv").read_text().strip().split("\n")
     assert len(rows) == 3  # header + test + train
+    # no pretrained weights on this box: rows must carry the vgg-random tag so
+    # fallback scores can never masquerade as real LPIPS
+    import csv as _csv
+
+    for r in _csv.DictReader(open(tmp_path / "metric.csv")):
+        assert r["lpips_kind"] == "vgg-random"
 
 
 # ---------------------------------------------------------------------------
