@@ -118,7 +118,10 @@ def blend_reference(
         apply = (t_i * (1.0 - alpha)) >= T_EPS
         w = jnp.where(apply, alpha * t_i, 0.0)  # [chunk, HW]
 
-        rgb_acc = rgb_acc + w.T @ col  # [HW, 3]
+        # HIGHEST precision: the oracle must be exact f32 — on TPU the default
+        # matmul precision is bf16, which would put ~3e-3 of error in the
+        # ORACLE itself and mask (or fake) compiled-kernel parity failures.
+        rgb_acc = rgb_acc + jnp.matmul(w.T, col, precision=jax.lax.Precision.HIGHEST)
         # Actual T freezes once `apply` fails (monotone), so the masked product
         # IS the frozen T; naive T keeps decreasing and only drives the test.
         t_naive_new = t_naive * jnp.exp(jnp.sum(log1m, axis=0))
