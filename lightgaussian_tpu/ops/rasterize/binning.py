@@ -310,10 +310,17 @@ def sort_key_bits(grid: TileGrid) -> int:
 
     The CUDA reference radix-sorts a 64-bit (tileID << 32 | float-bits) key; a
     single 32-bit key sorts ~an order of magnitude faster on TPU, so we keep
-    the full tile id and the top (32 - tile_bits) bits of the positive-float
-    depth (monotone in the float value). At 1080p that is 21 depth bits =
-    2^-13 relative depth resolution; blending order can only flip between
-    Gaussians closer than that, which is visually nil and still deterministic.
+    the full tile id and give the remaining (32 - tile_bits) bits to depth.
+
+    Depth quantization is RANGE-ADAPTIVE (see `bin_splats`): the frame's
+    minimum depth bit-pattern is subtracted and the residual is right-shifted
+    only as much as the frame's actual depth RANGE requires. The positive-f32
+    bit pattern is monotone and piecewise-log, so the residual spans
+    ~(octaves-of-depth-range x 2^23); with 21 depth bits at 1080p the shift is
+    0 whenever the scene spans < 2^-2 octaves of depth and at most 6 for a
+    0.01..100 frustum — i.e. ordering is EXACT (full f32) for typical scenes
+    and never coarser than 2^-17 relative, vs the fixed 2^-12 of a plain
+    truncated-float key. Quantified in tests/test_depth_key.py.
     """
     tile_bits = max(int(grid.num_tiles + 1).bit_length(), 1)
     return 32 - tile_bits
@@ -378,9 +385,18 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
 
     # Pack (tile, depth) into one u32 key: fast single-key sort. Dead slots get
     # the maximal key, so they sort strictly after every live instance.
+    # Range-adaptive depth quantization (docstring of `sort_key_bits`):
+    # subtract the frame-min depth bit-pattern and shift by just enough for
+    # the frame's actual range — exact f32 ordering for typical depth ranges,
+    # never coarser than ~2^-17 relative. Two u32 reductions, ~free.
     depth_bits = sort_key_bits(grid)
-    dep_u = jax.lax.bitcast_convert_type(m[:, 4], jnp.uint32) >> (32 - depth_bits)
-    dep_u = jnp.where(live, dep_u, jnp.uint32((1 << depth_bits) - 1))
+    dep_raw = jax.lax.bitcast_convert_type(m[:, 4], jnp.uint32)
+    base = jnp.min(jnp.where(live, dep_raw, jnp.uint32(0xFFFFFFFF)))
+    rel = dep_raw - base
+    max_rel = jnp.max(jnp.where(live, rel, jnp.uint32(0)))
+    bits_needed = 32 - jax.lax.clz(max_rel).astype(jnp.int32)  # 0: depths equal
+    shift = jnp.maximum(bits_needed - depth_bits, 0).astype(jnp.uint32)
+    dep_u = jnp.where(live, rel >> shift, jnp.uint32((1 << depth_bits) - 1))
     key = (tile.astype(jnp.uint32) << depth_bits) | dep_u
     gid_tagged = jnp.where(live, gid_c, n).astype(jnp.int32)
 

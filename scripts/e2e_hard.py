@@ -128,8 +128,8 @@ def make_target(seed: int = 11) -> GaussianScene:
     # bites; amplitudes calibrated via --calibrate-only (target's own
     # truncation cost ~1.5-2 dB => post-prune trained cost >= 0.5 dB).
     k_rest = sh_ops.num_sh_coeffs(3) - 1  # 15
-    sh_rest = rng.normal(0.0, 0.05, (N_TARGET, k_rest, 3)).astype(np.float32)
-    sh_rest[:, 8:, :] = rng.normal(0.0, 0.22, (N_TARGET, 7, 3)).astype(np.float32)
+    sh_rest = rng.normal(0.0, 0.04, (N_TARGET, k_rest, 3)).astype(np.float32)
+    sh_rest[:, 8:, :] = rng.normal(0.0, 0.10, (N_TARGET, 7, 3)).astype(np.float32)
 
     log_scales = np.log(rng.uniform(0.015, 0.035, (N_TARGET, 3))).astype(np.float32)
     quats = rng.normal(size=(N_TARGET, 4)).astype(np.float32)
