@@ -47,6 +47,22 @@ def default_max_instances(scene: GaussianScene, camera: Camera) -> int:
     return estimate_max_instances(scene.capacity, grid)
 
 
+def build_binning(
+    scene: GaussianScene,
+    camera: Camera,
+    scale_modifier: float = 1.0,
+    max_instances: Optional[int] = None,
+):
+    """Bin the scene for this camera and return the Binning for reuse via
+    `render(..., cached_binning=...)` — the temporal-reuse path for
+    trajectory rendering (rebin every K frames, reuse the sorted order in
+    between; only a feature re-gather runs per frame)."""
+    if max_instances is None:
+        max_instances = default_max_instances(scene, camera)
+    splats = preprocess(scene, camera, scale_modifier=scale_modifier)
+    return tiled_mod.build_binning(splats, camera.width, camera.height, max_instances)
+
+
 def render(
     scene: GaussianScene,
     camera: Camera,
@@ -58,6 +74,7 @@ def render(
     max_instances: Optional[int] = None,
     method: str = "tiled",
     interpret: bool = False,
+    cached_binning=None,
 ) -> RenderOutput:
     splats = preprocess(
         scene,
@@ -73,11 +90,16 @@ def render(
         )
         total = jnp.int32(0)
     elif method == "tiled":
-        if max_instances is None:
-            max_instances = default_max_instances(scene, camera)
-        image, final_t, total = tiled_mod.blend_tiled(
-            splats, bg, camera.width, camera.height, max_instances, interpret
-        )
+        if cached_binning is not None:
+            image, final_t, total = tiled_mod.blend_tiled_cached(
+                splats, bg, camera.width, camera.height, cached_binning, interpret
+            )
+        else:
+            if max_instances is None:
+                max_instances = default_max_instances(scene, camera)
+            image, final_t, total = tiled_mod.blend_tiled(
+                splats, bg, camera.width, camera.height, max_instances, interpret
+            )
     else:
         raise ValueError(f"unknown render method {method!r}")
     return RenderOutput(

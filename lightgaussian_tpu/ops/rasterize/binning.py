@@ -245,6 +245,7 @@ class Binning:
     gauss_cum: jnp.ndarray  # [N] int32 inclusive cumsum of per-Gaussian tile counts
     tile_starts: jnp.ndarray  # [T+1] int32 raw sorted-order offsets
     total: jnp.ndarray  # scalar int32: true live instances (overflow monitor)
+    gid_sorted: jnp.ndarray  # [CAP] int32 sorted position -> Gaussian id (N = dead)
 
 
 def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
@@ -431,7 +432,34 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
         gauss_cum=cum.astype(jnp.int32),
         tile_starts=tile_starts,
         total=total,
+        gid_sorted=gid_s,
     )
+
+
+def rebind_features(splats: Splats, b: Binning) -> Binning:
+    """Refresh a cached Binning's instance FEATURES from new splats, keeping
+    the cached (tile | depth) order and tile ranges — the temporal-reuse path
+    for trajectory rendering, where frame-to-frame camera deltas are tiny and
+    the sort/rect/searchsorted work (~60% of binning) can be amortized over
+    several frames (PERF.md round-2). Gaussians culled in the NEW frame but
+    present in the cached order are made inert (features zeroed -> alpha 0).
+    Forward-only: pre_pos/gauss_cum keep their stale (order-consistent)
+    values and must not be used for gradients against the new splats."""
+    if splats.mean2d.shape[0] != b.gauss_cum.shape[0]:
+        raise ValueError(
+            f"cached binning was built for {b.gauss_cum.shape[0]} Gaussians, "
+            f"got {splats.mean2d.shape[0]} — JAX gathers clamp out-of-bounds "
+            "indices silently, so this would mis-render instead of failing"
+        )
+    visible = (splats.radius > 0)[:, None]
+    feat = jnp.where(visible, pack_features(splats), 0.0)
+    # Non-finite screen coords from behind-camera Gaussians are zeroed above,
+    # but guard the gather row too (sentinel id == n hits the zero row).
+    feat = jnp.concatenate([feat, jnp.zeros((1, FEAT_WIDTH), jnp.float32)])
+    flat = feat[b.gid_sorted]
+    cap = b.gid_sorted.shape[0]
+    inst_chunks = flat.reshape(cap // INST_CHUNK, INST_CHUNK, FEAT_WIDTH).transpose(0, 2, 1)
+    return dataclasses.replace(b, inst_chunks=inst_chunks)
 
 
 def estimate_max_instances(num_gaussians: int, grid: TileGrid, avg_tiles_per_gaussian: float = 8.0) -> int:

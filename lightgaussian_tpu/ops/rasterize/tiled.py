@@ -126,6 +126,39 @@ def blend_tiled(
     return _get_blend_fn(width, height, max_instances, bool(interpret))(splats, bg)
 
 
+def blend_tiled_cached(
+    splats: Splats,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    cached: "binning_mod.Binning",
+    interpret: bool = False,
+):
+    """Forward-only blend reusing a cached Binning's (tile | depth) order:
+    features are re-gathered from the NEW splats (one row-gather), the sorts /
+    rects / searchsorted are skipped. For trajectory rendering where the
+    camera moves a little per frame; image deltas vs fresh binning are
+    quantified in tests/test_temporal_binning.py and PERF.md. NOT
+    differentiable (no VJP residuals for the new splats)."""
+    grid = make_grid(width, height)
+    b = binning_mod.rebind_features(splats, cached)
+    tile_rgb, tile_t = pk.blend_forward(b.tile_starts, b.inst_chunks, grid, interpret)
+    img_pad = _assemble_image(tile_rgb, grid)
+    t_pad = _assemble_image(tile_t, grid)[0]
+    image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
+    return image, t_pad[:height, :width], b.total
+
+
+def build_binning(
+    splats: Splats,
+    width: int,
+    height: int,
+    max_instances: int,
+) -> "binning_mod.Binning":
+    """Bin splats for later reuse by `blend_tiled_cached`."""
+    return binning_mod.bin_splats(splats, make_grid(width, height), max_instances)
+
+
 def blend_tiled_counting(
     splats: Splats,
     bg: jnp.ndarray,

