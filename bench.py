@@ -20,6 +20,7 @@ on mismatch.
 """
 import argparse
 import json
+import math
 import sys
 import time
 
@@ -136,20 +137,48 @@ def parity_gate() -> None:
                       "vs_baseline": 1.0}))
 
 
-def main():
+def main(batch: int = 1):
     scene = random_scene(
         n=N_GAUSS, seed=0, extent=2.0, scale_range=(0.004, 0.02), active_sh_degree=3
     )
-    camera = default_camera(width=WIDTH, height=HEIGHT, dist=5.0)
     bg = jnp.zeros((3,), jnp.float32)
     target = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
 
-    def loss_fn(params):
-        s = scene.with_params(params)
-        out = render(s, camera, bg, max_instances=MAX_INSTANCES)
-        return losses.gs_loss(out.render, target), out.num_instances
+    if batch == 1:
+        camera = default_camera(width=WIDTH, height=HEIGHT, dist=5.0)
 
-    step = jax.jit(jax.grad(loss_fn, has_aux=True))
+        def loss_fn(params):
+            s = scene.with_params(params)
+            out = render(s, camera, bg, max_instances=MAX_INSTANCES)
+            return losses.gs_loss(out.render, target), out.num_instances
+
+        step = jax.jit(jax.grad(loss_fn, has_aux=True))
+    else:
+        # Multi-camera batched step: mean loss over `batch` cameras per
+        # backward (lax.map serialization like train.step's batched variant).
+        from lightgaussian_tpu.models.camera import index_camera, stack_cameras
+        from lightgaussian_tpu.models.camera import Camera
+
+        cams = stack_cameras([
+            Camera.look_at(
+                eye=[5.0 * math.sin(0.2 + 0.01 * i), 0.6,
+                     -5.0 * math.cos(0.2 + 0.01 * i)],
+                target=[0, 0, 0], width=WIDTH, height=HEIGHT,
+            )
+            for i in range(batch)
+        ])
+
+        def loss_fn(params):
+            s = scene.with_params(params)
+
+            def one(i):
+                out = render(s, index_camera(cams, i), bg, max_instances=MAX_INSTANCES)
+                return losses.gs_loss(out.render, target), out.num_instances
+
+            l, tot = jax.lax.map(one, jnp.arange(batch))
+            return l.mean(), tot.max()
+
+        step = jax.jit(jax.grad(loss_fn, has_aux=True))
 
     params = scene.params()
     t0 = time.time()
@@ -157,7 +186,7 @@ def main():
     jax.block_until_ready(grads)
     print(
         f"compile+first step: {time.time()-t0:.1f}s, instances={int(total)}"
-        f" (capacity {MAX_INSTANCES})",
+        f" (capacity {MAX_INSTANCES}, camera batch {batch})",
         file=sys.stderr,
     )
 
@@ -171,8 +200,8 @@ def main():
     jax.block_until_ready(grads)
     dt = (time.time() - t0) / ITERS
 
-    pix_per_s = WIDTH * HEIGHT / dt
-    print(f"step time: {dt*1e3:.1f} ms", file=sys.stderr)
+    pix_per_s = batch * WIDTH * HEIGHT / dt
+    print(f"step time: {dt*1e3:.1f} ms ({batch} cameras)", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -189,8 +218,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--parity", action="store_true",
                     help="run the compiled-kernel parity gate instead of the throughput bench")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="cameras per step (multi-camera batched train step)")
     cli_args = ap.parse_args()
     if cli_args.parity:
         parity_gate()
     else:
-        main()
+        main(cli_args.batch)

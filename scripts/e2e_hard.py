@@ -75,7 +75,7 @@ if _ARGS.preset == "hard":
     N_TRAIN_VIEWS, N_TEST_VIEWS = 56, 8
     TRAIN_ITERS = 15_000
     DENSIFY_UNTIL = 9_000
-    FT_ITERS = 4_000           # finetune length after the one-shot prune
+    FT_ITERS = 5_000           # finetune length after the one-shot prune
     DISTILL_ITERS = 5_000
     CODEBOOK = 8192            # the reference's operating point
     VQ_FIT_ITERS = 1000
@@ -86,10 +86,10 @@ else:  # pilot: same physics, ~6x cheaper, for calibration runs
     N_TRAIN_VIEWS, N_TEST_VIEWS = 32, 6
     TRAIN_ITERS = 6_000
     DENSIFY_UNTIL = 3_500
-    FT_ITERS = 2_000
+    FT_ITERS = 3_000
     DISTILL_ITERS = 2_500
     CODEBOOK = 4096
-    VQ_FIT_ITERS = 600
+    VQ_FIT_ITERS = 1000
     MAX_INST = 524_288
 
 PRUNE_RATIO = 0.6
@@ -122,8 +122,21 @@ def make_target(seed: int = 11) -> GaussianScene:
     ], axis=1).astype(np.float32)
     means = np.concatenate([sphere, plane], axis=0)
 
-    # High-frequency texture: independent random color per Gaussian.
-    sh_dc = rng.normal(0.0, 0.55, (N_TARGET, 3)).astype(np.float32)
+    # Texture with realistic redundancy: a smooth position-driven base color
+    # everywhere (low-frequency => prunable/recoverable, like real scenes'
+    # walls and ground) plus a high-frequency random-color DETAIL subset
+    # (~35%) that genuinely needs its Gaussians. All-random colors make
+    # pruning information-destroying (nothing redundant to drop) — the
+    # paper's premise is that densified scenes ARE redundant.
+    x, y, z = means[:, 0], means[:, 1], means[:, 2]
+    smooth = np.stack([
+        0.45 * np.sin(2.1 * x + 0.4) + 0.25 * np.cos(1.3 * z),
+        0.45 * np.sin(1.7 * y + 2.1) + 0.25 * np.cos(2.3 * x),
+        0.45 * np.sin(1.9 * z + 4.0) + 0.25 * np.cos(1.1 * y),
+    ], axis=1).astype(np.float32)
+    detail = rng.random(N_TARGET) < 0.35
+    noise_sigma = np.where(detail, 0.55, 0.08).astype(np.float32)
+    sh_dc = smooth + rng.normal(0.0, 1.0, (N_TARGET, 3)).astype(np.float32) * noise_sigma[:, None]
     # SH energy: modest deg-1..2, STRONG deg-3 (rows 8..14) so truncation
     # bites; amplitudes calibrated via --calibrate-only (target's own
     # truncation cost ~1.5-2 dB => post-prune trained cost >= 0.5 dB).

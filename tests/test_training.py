@@ -234,6 +234,63 @@ class TestLoopAutoGrow:
         assert state.scene.capacity > 128
 
 
+def test_batched_step_semantics(setup):
+    """camera_batch=B: ONE Adam update on the mean-over-cameras loss, with
+    per-camera densification-stat accumulation identical to B independent
+    single-camera steps from the same state."""
+    from lightgaussian_tpu.models.camera import stack_cameras
+    from lightgaussian_tpu.train import optim
+
+    _, student, cams = setup
+    opt_cfg = OptimizationParams()
+    state0 = init_train_state(student)
+
+    step_b = make_train_step(opt_cfg, 1.0, MAX_INST, interpret=True, camera_batch=2)
+    batched = stack_cameras(cams[:2])
+    state_b, metrics_b = step_b(state0, batched, BG)
+
+    # reference: per-camera grads via two single-camera loss functions
+    from lightgaussian_tpu.ops import losses as L
+
+    def loss_one(params, cam):
+        s = state0.scene.with_params(params)
+        out = render(s, cam, BG, max_instances=MAX_INST, interpret=True)
+        l1 = L.l1_loss(out.render, cam.gt_image)
+        return (1 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1 - L.ssim(out.render, cam.gt_image))
+
+    g0 = jax.grad(loss_one)(state0.scene.params(), cams[0])
+    g1 = jax.grad(loss_one)(state0.scene.params(), cams[1])
+    mean_g = {k: (g0[k] + g1[k]) / 2 for k in g0}
+    lr_fns = optim.make_lr_fns(opt_cfg, 1.0)
+    want_params, _ = optim.adam_update(
+        state0.scene.params(), mean_g, state0.opt, lr_fns, state0.step,
+        state0.scene.alive, 1.0,
+    )
+    for k in want_params:
+        np.testing.assert_allclose(
+            np.asarray(state_b.scene.params()[k]), np.asarray(want_params[k]),
+            atol=1e-6, err_msg=f"batched Adam update differs for {k}",
+        )
+
+    # densify stats: sum of the two single-camera steps' increments
+    step_1 = make_train_step(opt_cfg, 1.0, MAX_INST, interpret=True)
+    sa, _ = step_1(state0, cams[0], BG)
+    sb, _ = step_1(state0, cams[1], BG)
+    inc_a = np.asarray(sa.xyz_grad_accum - state0.xyz_grad_accum)
+    inc_b = np.asarray(sb.xyz_grad_accum - state0.xyz_grad_accum)
+    inc_batched = np.asarray(state_b.xyz_grad_accum - state0.xyz_grad_accum)
+    np.testing.assert_allclose(inc_batched, inc_a + inc_b, atol=1e-6)
+    den_a = np.asarray(sa.denom - state0.denom)
+    den_b = np.asarray(sb.denom - state0.denom)
+    np.testing.assert_array_equal(np.asarray(state_b.denom - state0.denom), den_a + den_b)
+    np.testing.assert_allclose(
+        np.asarray(state_b.max_radii2d),
+        np.maximum(np.asarray(sa.max_radii2d), np.asarray(sb.max_radii2d)),
+        atol=1e-6,
+    )
+    assert float(metrics_b.loss) > 0
+
+
 def test_lr_mult_excludes_means(setup):
     """The global ExponentialLR multiplier must not stick to the xyz group —
     the reference overwrites xyz lr from its schedule every iteration
