@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_start", type=int, default=100)
     parser.add_argument("--profile_steps", type=int, default=5)
     parser.add_argument("--interpret", action="store_true", default=None)
+    parser.add_argument("--camera_batch", type=int, default=1,
+                        help="cameras per optimizer step (1 = reference-faithful; "
+                             ">1 = one Adam update on the mean-over-cameras loss)")
     common.add_debug_nans_flag(parser)
     return parser
 
@@ -104,6 +107,7 @@ def main(argv=None) -> None:
         scene, cfg, bg, state=state, first_iter=first_iter, callbacks=callbacks,
         densify=True, interpret=interpret, logger=logger, seed=args.seed,
         gui=gui, gui_source_path=str(model.source_path),
+        camera_batch=args.camera_batch,
     )
     if gui is not None:
         gui.close()

@@ -113,11 +113,16 @@ def train(
     prune_type: str = "v_important_score",
     gui=None,
     gui_source_path: str = "",
+    camera_batch: int = 1,
 ) -> TrainState:
     """Run the training loop; returns the final state.
 
     With `densify=True` this is `train_densify_prune.py`; with `densify=False`
     plus `lr_mult_fn` it is the finetune loop of `prune_finetune.py`.
+
+    `camera_batch > 1`: each iteration consumes B cameras and performs ONE
+    Adam update on the mean loss (see `make_train_step`); `opt.iterations`
+    then counts optimizer steps, not cameras.
     """
     opt: OptimizationParams = cfg.opt
     # Stage every camera's arrays (incl. gt images) on device ONCE; numpy
@@ -132,6 +137,7 @@ def train(
     step_fn = make_train_step(
         opt, scene.cameras_extent, max_instances,
         lr_mult_fn=lr_mult_fn, update_densify_stats=densify, interpret=interpret,
+        camera_batch=camera_batch,
     )
     eval_fn = make_eval_render(max_instances, interpret=interpret)
     logger = logger or MetricsLogger(scene.model_path)
@@ -214,9 +220,19 @@ def train(
         if sh_degree_interval and iteration % sh_degree_interval == 0:
             state = dataclasses.replace(state, scene=state.scene.one_up_sh_degree())
 
-        if not camera_stack:
-            camera_stack = list(cams)
-        cam = camera_stack.pop(rng.randrange(len(camera_stack)))
+        if camera_batch > 1:
+            from lightgaussian_tpu.models.camera import stack_cameras
+
+            picked = []
+            for _ in range(camera_batch):
+                if not camera_stack:
+                    camera_stack = list(cams)
+                picked.append(camera_stack.pop(rng.randrange(len(camera_stack))))
+            cam = stack_cameras(picked)
+        else:
+            if not camera_stack:
+                camera_stack = list(cams)
+            cam = camera_stack.pop(rng.randrange(len(camera_stack)))
 
         state, metrics = step_fn(state, cam, bg)
         pending.append((iteration, metrics))
@@ -262,7 +278,7 @@ def train(
                 step_fn = make_train_step(
                     opt, scene.cameras_extent, max_instances,
                     lr_mult_fn=lr_mult_fn, update_densify_stats=densify,
-                    interpret=interpret,
+                    interpret=interpret, camera_batch=camera_batch,
                 )
                 eval_fn = make_eval_render(max_instances, interpret=interpret)
 

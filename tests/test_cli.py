@@ -87,6 +87,27 @@ def test_train_cli_artifacts_and_improvement(workspace):
     assert float(test_rows[-1]["psnr"]) > float(test_rows[0]["psnr"])
 
 
+def test_train_cli_camera_batch(workspace, tmp_path):
+    """--camera_batch 2: one optimizer step per two cameras, loop + CLI wiring."""
+    dataset, _ = workspace
+    from lightgaussian_tpu.cli import train_densify_prune
+
+    model = tmp_path / "model_b2"
+    train_densify_prune.main([
+        "-s", str(dataset), "-m", str(model), "--eval", "--quiet",
+        "--disable_viewer", "--iterations", "12", "--camera_batch", "2",
+        "--densify_from_iter", "4", "--densification_interval", "5",
+        "--densify_until_iter", "10", "--opacity_reset_interval", "1000",
+        "--test_iterations", "12", "--save_iterations", "12",
+        "--position_lr_max_steps", "12", "--interpret",
+    ])
+    assert (model / "point_cloud/iteration_12/point_cloud.ply").exists()
+    import csv
+
+    rows = [r for r in csv.DictReader(open(model / "metric.csv")) if r["set"] == "test"]
+    assert rows and float(rows[-1]["psnr"]) > 8
+
+
 def test_render_and_metrics_cli(workspace):
     dataset, model = workspace
     from lightgaussian_tpu.cli import metrics as metrics_cli
