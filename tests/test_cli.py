@@ -247,6 +247,62 @@ def test_full_eval_metrics_phase(workspace):
     assert any(v.get("PSNR", 0) > 0 for v in results.values())
 
 
+def test_convert_colmap_pipeline_with_fake_binary(tmp_path, monkeypatch):
+    """Exercise the actual COLMAP subprocess driver (`convert.py:31-90`
+    semantics) with a stub `colmap` executable that records its argv and
+    fabricates the undistorter outputs — validates stage order, flag
+    construction, and the sparse/ -> sparse/0 move without COLMAP installed."""
+    import os
+    import stat
+
+    from lightgaussian_tpu.cli import convert
+
+    scene = tmp_path / "scene"
+    (scene / "input").mkdir(parents=True)
+    log = tmp_path / "calls.log"
+    stub_dir = tmp_path / "bin"
+    stub_dir.mkdir()
+    stub = stub_dir / "colmap"
+    stub.write_text(f"""#!/bin/bash
+echo "$@" >> {log}
+if [ "$1" = image_undistorter ]; then
+  # emulate COLMAP: writes sparse/ + images/ into --output_path
+  out=""
+  prev=""
+  for a in "$@"; do [ "$prev" = --output_path ] && out="$a"; prev="$a"; done
+  mkdir -p "$out/sparse" "$out/images"
+  touch "$out/sparse/cameras.bin" "$out/sparse/images.bin" "$out/sparse/points3D.bin"
+fi
+exit 0
+""")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub_dir}:{os.environ['PATH']}")
+
+    convert.main(["-s", str(scene), "--no_gpu"])
+
+    calls = log.read_text().strip().split("\n")
+    stages = [c.split()[0] for c in calls]
+    assert stages == ["feature_extractor", "exhaustive_matcher", "mapper",
+                      "image_undistorter"]
+    assert "--ImageReader.camera_model OPENCV" in calls[0]
+    assert "--SiftExtraction.use_gpu 0" in calls[0]
+    assert f"--database_path {scene}/distorted/database.db" in calls[1]
+    assert f"--output_path {scene}/distorted/sparse" in calls[2]
+    assert f"--input_path {scene}/distorted/sparse/0" in calls[3]
+    # undistorter outputs moved into sparse/0 (convert.py:81-90)
+    for f in ("cameras.bin", "images.bin", "points3D.bin"):
+        assert (scene / "sparse" / "0" / f).exists()
+
+
+def test_convert_missing_colmap_exits(tmp_path, monkeypatch):
+    from lightgaussian_tpu.cli import convert
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # no colmap anywhere
+    with pytest.raises(SystemExit) as e:
+        convert.main(["-s", str(tmp_path), "--colmap_executable", "definitely_missing"])
+    assert e.value.code == 1
+
+
 def test_convert_pyramids(tmp_path):
     from PIL import Image
 
