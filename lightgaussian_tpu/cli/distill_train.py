@@ -44,7 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--start_pointcloud", type=str, default=None)
     parser.add_argument("--new_max_sh", type=int, default=2)
     parser.add_argument("--augmented_view", action="store_true")
-    parser.add_argument("--enable_covariance", action="store_true")
+    parser.add_argument("--enable_covariance", action="store_true",
+                        help="unfreeze scaling/rotation (distill_train.py:83-85)")
+    parser.add_argument("--enable_opacity", action="store_true",
+                        help="unfreeze opacity (distill_train.py:86-87; the "
+                             "reference's script passes only --enable_covariance)")
     parser.add_argument("--iteration_base", type=int, default=30_000)
     parser.add_argument("--iterations_total", type=int, default=40_000)
     parser.add_argument("--lr_gamma", type=float, default=0.90)
@@ -95,7 +99,14 @@ def main(argv=None) -> None:
     cams = scene.getTrainCameras()
     test_cams = scene.getTestCameras()
     max_instances = default_max_instances(state.scene, cams[0])
-    frozen = () if args.enable_covariance else ("log_scales", "quats", "opacity_logits")
+    # Separate freeze gates like the reference (`distill_train.py:83-87`):
+    # scaling/rotation behind --enable_covariance, opacity behind
+    # --enable_opacity (the operating-point script enables only the former).
+    frozen = ()
+    if not args.enable_covariance:
+        frozen += ("log_scales", "quats")
+    if not args.enable_opacity:
+        frozen += ("opacity_logits",)
     step_fn = distill.make_distill_step(
         opt, scene.cameras_extent, max_instances,
         gamma=args.lr_gamma, gamma_every=args.lr_step_every,

@@ -212,8 +212,12 @@ def load_gaussian_ply(path: str | Path, new_sh_degree: int | None = None, capaci
     k = len(rest_names) // 3
     max_sh = int(round(np.sqrt(k + 1))) - 1
     assert (max_sh + 1) ** 2 - 1 == k, f"bad f_rest count {len(rest_names)}"
-    f_rest = np.stack([v[nm] for nm in rest_names], axis=1).astype(np.float32)
-    sh_rest = f_rest.reshape(n, 3, k).transpose(0, 2, 1)  # -> [N, K, 3]
+    if k:
+        f_rest = np.stack([v[nm] for nm in rest_names], axis=1).astype(np.float32)
+        sh_rest = f_rest.reshape(n, 3, k).transpose(0, 2, 1)  # -> [N, K, 3]
+    else:
+        # degree-0 model (e.g. a fully-distilled student): no f_rest_* fields
+        sh_rest = np.zeros((n, 0, 3), np.float32)
 
     if new_sh_degree is not None:
         if new_sh_degree > max_sh:

@@ -80,6 +80,8 @@ if _ARGS.preset == "hard":
     CODEBOOK = 8192            # the reference's operating point
     VQ_FIT_ITERS = 1000
     MAX_INST = 1_114_112
+    DENSIFY_THRESH = 1.4e-4    # over-densify (the paper's premise: trained
+                               # 3D-GS models carry ~2x redundant Gaussians)
 else:  # pilot: same physics, ~6x cheaper, for calibration runs
     W = H = 256
     N_TARGET = 24_000
@@ -91,6 +93,7 @@ else:  # pilot: same physics, ~6x cheaper, for calibration runs
     CODEBOOK = 4096
     VQ_FIT_ITERS = 1000
     MAX_INST = 524_288
+    DENSIFY_THRESH = 1.3e-4
 
 PRUNE_RATIO = 0.6
 OUT = Path(f"/tmp/e2e_hard_scene_{_ARGS.preset}")
@@ -137,16 +140,27 @@ def make_target(seed: int = 11) -> GaussianScene:
     detail = rng.random(N_TARGET) < 0.35
     noise_sigma = np.where(detail, 0.55, 0.08).astype(np.float32)
     sh_dc = smooth + rng.normal(0.0, 1.0, (N_TARGET, 3)).astype(np.float32) * noise_sigma[:, None]
-    # SH energy: modest deg-1..2, STRONG deg-3 (rows 8..14) so truncation
-    # bites; amplitudes calibrated via --calibrate-only (target's own
-    # truncation cost ~1.5-2 dB => post-prune trained cost >= 0.5 dB).
+    # SH rest: POSITION-DRIVEN smooth fields + tiny noise — real scenes' SH
+    # features cluster heavily (that's why VecTree works at all); independent
+    # random coefficients would make VQ information-theoretically impossible.
+    # Degree-3 rows (8..14) get ~2.4x the amplitude so truncation still bites
+    # (energy is what truncation costs; spatial correlation is what VQ and
+    # distillation exploit). Calibrated via --calibrate-only.
     k_rest = sh_ops.num_sh_coeffs(3) - 1  # 15
-    sh_rest = rng.normal(0.0, 0.04, (N_TARGET, k_rest, 3)).astype(np.float32)
-    sh_rest[:, 8:, :] = rng.normal(0.0, 0.10, (N_TARGET, 7, 3)).astype(np.float32)
+    freq = rng.uniform(0.8, 2.8, (k_rest, 3, 3)).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi, (k_rest, 3)).astype(np.float32)
+    amp = np.where(np.arange(k_rest) >= 8, 0.07, 0.045).astype(np.float32)
+    fields = np.sin(np.einsum("nd,kcd->nkc", means, freq) + phase[None])  # [N,K,3]
+    sh_rest = (amp[None, :, None] * fields
+               + rng.normal(0.0, 0.02, (N_TARGET, k_rest, 3))).astype(np.float32)
 
     log_scales = np.log(rng.uniform(0.015, 0.035, (N_TARGET, 3))).astype(np.float32)
     quats = rng.normal(size=(N_TARGET, 4)).astype(np.float32)
-    opa = rng.uniform(0.5, 4.0, N_TARGET).astype(np.float32)  # sigmoid: .62-.98
+    # Opacity: smooth regions opaque; the DETAIL subset semi-transparent
+    # (sigmoid .27-.62) — low-opacity-but-load-bearing structure is exactly
+    # what naive opacity-ranked pruning destroys and GSS keeps.
+    opa = np.where(detail, rng.uniform(-1.0, 0.5, N_TARGET),
+                   rng.uniform(1.5, 4.0, N_TARGET)).astype(np.float32)
 
     scene = empty_scene(N_TARGET, max_sh_degree=3)
     fill = lambda buf, vals: buf.at[: vals.shape[0]].set(jnp.asarray(vals))
@@ -306,6 +320,7 @@ def main():
             "--checkpoint_iterations", str(TRAIN_ITERS),
             "--densify_from_iter", "500", "--densification_interval", "100",
             "--densify_until_iter", str(DENSIFY_UNTIL),
+            "--densify_grad_threshold", str(DENSIFY_THRESH),
             "--opacity_reset_interval", "3000",
             "--position_lr_max_steps", str(TRAIN_ITERS),
             "--disable_viewer",
@@ -385,7 +400,7 @@ def main():
         distill_train.main([
             "-s", str(OUT), "-m", str(dl),
             "--start_checkpoint", str(pf / f"chkpnt{FT_END}.npz"),
-            "--new_max_sh", "2", "--augmented_view",
+            "--new_max_sh", "2", "--augmented_view", "--enable_covariance",
             "--iteration_base", str(FT_END),
             "--iterations_total", str(DISTILL_END),
             "--test_iterations", str(DISTILL_END),

@@ -321,3 +321,21 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 
 
 import jax  # noqa: E402  (used in test above)
+
+def test_gaussian_ply_roundtrip_degree0(tmp_path):
+    """A fully-distilled degree-0 model has NO f_rest_* fields; save/load must
+    round-trip (regression: load_gaussian_ply crashed on np.stack([]))."""
+    from lightgaussian_tpu.data.ply import load_gaussian_ply, save_gaussian_ply
+    from lightgaussian_tpu.utils.synthetic import random_scene
+
+    scene = random_scene(n=32, seed=9, max_sh_degree=0)
+    path = tmp_path / "deg0.ply"
+    save_gaussian_ply(scene, path)
+    back = load_gaussian_ply(path)
+    assert back.max_sh_degree == 0
+    assert back.sh_rest.shape[1] == 0
+    np.testing.assert_allclose(
+        np.asarray(back.means)[np.asarray(back.alive)],
+        np.asarray(scene.means)[np.asarray(scene.alive)], atol=1e-6,
+    )
+
