@@ -91,6 +91,14 @@ def render(
         total = jnp.int32(0)
     elif method == "tiled":
         if cached_binning is not None:
+            # forward-only reuse path; capacity comes from the cached binning
+            # itself, and `num_instances` reports the KEYFRAME's total (the
+            # reused order has no fresh count for this camera)
+            if max_instances is not None:
+                raise ValueError(
+                    "pass either max_instances or cached_binning, not both — "
+                    "the cached binning fixes the capacity"
+                )
             image, final_t, total = tiled_mod.blend_tiled_cached(
                 splats, bg, camera.width, camera.height, cached_binning, interpret
             )

@@ -462,6 +462,21 @@ def rebind_features(splats: Splats, b: Binning) -> Binning:
     return dataclasses.replace(b, inst_chunks=inst_chunks)
 
 
+def snug_capacity(
+    live: int,
+    headroom: float = 1.4,
+    quantum_small: int = 8192,
+    floor: int = 1 << 14,
+) -> int:
+    """Right-sized instance capacity for a measured live count: `headroom`
+    over the live instances, rounded to a compile-cache-friendly quantum
+    (64k above 500k live — the training loop, trajectory renderer, and
+    benches all share this policy so they measure the same buffers)."""
+    cap = max(int(live * headroom), floor)
+    quantum = 65536 if cap > 500_000 else quantum_small
+    return ((cap + quantum - 1) // quantum) * quantum
+
+
 def estimate_max_instances(num_gaussians: int, grid: TileGrid, avg_tiles_per_gaussian: float = 8.0) -> int:
     """Static instance-buffer capacity heuristic; the training driver grows it
     (with a recompile) if `Binning.total` ever approaches it."""

@@ -15,6 +15,7 @@ import numpy as np
 
 from lightgaussian_tpu.models.camera import Camera
 from lightgaussian_tpu.models.gaussians import GaussianScene
+from lightgaussian_tpu.ops.rasterize import binning as binning_mod
 from lightgaussian_tpu.ops.rasterize import build_binning, render
 from lightgaussian_tpu.render import poses as pose_gen
 
@@ -116,42 +117,56 @@ def render_trajectory(
             save_png(fn(scene, cam, bg), base / f"{idx:05d}.png")
         return base
 
-    # Temporal binning reuse: consecutive trajectory cameras differ by a tiny
-    # delta, so the (tile | depth) sort order stays valid for several frames —
-    # rebin every `rebin_every` frames, re-gather features in between (skips
-    # ~60% of binning; image deltas quantified in tests/test_temporal_binning
-    # and PERF.md round-2). The instance buffer is right-sized from the first
-    # frame's live count: every per-instance cost (feature gather, binning on
-    # keyframes) scales with CAPACITY, and the default heuristic (8 tiles per
-    # Gaussian) typically over-allocates ~3x.
-    from lightgaussian_tpu.ops.rasterize import build_binning
+    # Temporal binning reuse: nearby trajectory cameras share a valid
+    # (tile | depth) sort order, so keyframes bin fresh and in-between frames
+    # only re-gather features (skips ~60% of binning; deltas quantified in
+    # tests/test_temporal_binning and PERF.md round-2). Reuse is gated on
+    # ACTUAL camera motion since the keyframe — a fixed frame count corrupts
+    # coarse trajectories (36-degree spherical-path jumps, short orbits):
+    # at the validated 600-frame orbit the ~0.6 deg/frame drift stays >55 dB
+    # vs fresh binning for 8 frames, so the gate is ~4.8 deg / 2% travel.
+    # `rebin_every` remains the upper bound between keyframes. The instance
+    # buffer is right-sized from the first frame's live count (the default
+    # heuristic over-allocates ~3x).
+    def cam_drift(a: Camera, b: Camera) -> tuple[float, float]:
+        ra = np.asarray(a.world_view)[:3, :3]
+        rb = np.asarray(b.world_view)[:3, :3]
+        cosang = (np.trace(ra @ rb.T) - 1.0) / 2.0
+        ang = float(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+        ca, cb = np.asarray(a.camera_center), np.asarray(b.camera_center)
+        trans = float(np.linalg.norm(ca - cb) / (np.linalg.norm(ca) + 1e-9))
+        return ang, trans
+
+    MAX_ANGLE_DEG, MAX_TRAVEL = 4.8, 0.02
 
     def make_bin_fn(cap):
         return jax.jit(lambda s, c: build_binning(s, c, max_instances=cap))
-
-    def snug_cap(total):
-        quantum = 65536 if total > 500_000 else 8192
-        return max(((int(total * 1.35) + quantum - 1) // quantum) * quantum, 1 << 14)
 
     cap = max_instances
     bin_fn = make_bin_fn(cap)
     cached_fn = _make_cached_render_fn(interpret)
     binning = bin_fn(scene, frames[0])
-    snug = min(snug_cap(int(binning.total)), cap)
+    snug = min(binning_mod.snug_capacity(int(binning.total), headroom=1.35), cap)
     if snug < 0.75 * cap:
         cap = snug
         bin_fn = make_bin_fn(cap)
         binning = bin_fn(scene, frames[0])
 
+    key_cam, since_key = frames[0], 0
     for idx, cam in enumerate(frames):
-        if idx % rebin_every == 0:
+        ang, trans = cam_drift(key_cam, cam)
+        if idx > 0 and (since_key >= rebin_every or ang > MAX_ANGLE_DEG
+                        or trans > MAX_TRAVEL):
             binning = bin_fn(scene, cam)
+            key_cam, since_key = cam, 0
             total = int(binning.total)
             if total >= cap:  # trajectory drifted into denser views: grow back
-                new_cap = min(snug_cap(total), max_instances)
+                new_cap = min(binning_mod.snug_capacity(total, headroom=1.35),
+                              max_instances)
                 if new_cap != cap:
                     cap = new_cap
                     bin_fn = make_bin_fn(cap)
                     binning = bin_fn(scene, cam)
+        since_key += 1
         save_png(cached_fn(scene, cam, bg, binning), base / f"{idx:05d}.png")
     return base

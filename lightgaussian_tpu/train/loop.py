@@ -22,7 +22,7 @@ import numpy as np
 
 from lightgaussian_tpu.config import OptimizationParams, TrainConfig
 from lightgaussian_tpu.data.scene import Scene
-from lightgaussian_tpu.models.camera import Camera
+from lightgaussian_tpu.models.camera import Camera, stack_cameras
 from lightgaussian_tpu.train import checkpoint as ckpt_mod
 from lightgaussian_tpu.train import densify as densify_mod
 from lightgaussian_tpu.train import gss
@@ -174,7 +174,7 @@ def train(
             ema_loss = 0.4 * loss + 0.6 * ema_loss if it0 > first_iter + 1 else loss
             logger.scalar("train_loss_patches/total_loss", loss, it0)
             inst_used = int(inst_used)
-            if inst_used >= max_instances:
+            if inst_used > max_instances:
                 # The buffer filled to capacity: binning clamped, so the
                 # deepest splats of THIS step were actually truncated (the
                 # grow trigger below heals it, but up to SYNC_LAG iterations
@@ -221,8 +221,6 @@ def train(
             state = dataclasses.replace(state, scene=state.scene.one_up_sh_degree())
 
         if camera_batch > 1:
-            from lightgaussian_tpu.models.camera import stack_cameras
-
             picked = []
             for _ in range(camera_batch):
                 if not camera_stack:
@@ -257,10 +255,9 @@ def train(
             # 0.85 grow trigger still leaves 15% for camera-to-camera variance
             # before a (one-step, self-healing) overflow truncation. Large
             # buffers round up to 64k so repeat runs hit the compile cache.
-            new_cap = max(int(inst_used * 1.4), 1024)
-            quantum = 65536 if new_cap > 500_000 else 128
-            new_cap = ((new_cap + quantum - 1) // quantum) * quantum
-            from lightgaussian_tpu.ops.rasterize.binning import MAX_CAPACITY
+            from lightgaussian_tpu.ops.rasterize.binning import MAX_CAPACITY, snug_capacity
+
+            new_cap = snug_capacity(inst_used, headroom=1.4, quantum_small=128, floor=1024)
 
             if new_cap > MAX_CAPACITY:
                 print(

@@ -54,6 +54,16 @@ class MetricsLogger:
                 self.tb = SummaryWriter(str(self.model_path))
             except Exception:
                 print("[logging] TensorBoard unavailable; scalars go to metric.csv only")
+        if self.csv_path.exists():
+            # Schema migration: resuming into a model dir whose metric.csv
+            # predates a column change must not append rows that silently
+            # misalign with the old header — park the old file instead.
+            with open(self.csv_path, newline="") as f:
+                header = next(csv.reader(f), [])
+            if header != CSV_FIELDS:
+                legacy = self.csv_path.with_name("metric_legacy.csv")
+                self.csv_path.rename(legacy)
+                print(f"[logging] metric.csv schema changed; old rows moved to {legacy.name}")
         if not self.csv_path.exists():
             with open(self.csv_path, "w", newline="") as f:
                 csv.writer(f).writerow(CSV_FIELDS)

@@ -77,9 +77,10 @@ def main():
 
     fresh_default = make_fresh(cap_default)
     img0 = fresh_default(cams[0])
+    from lightgaussian_tpu.ops.rasterize.binning import snug_capacity
+
     total = int(render(scene, cams[0], BG, max_instances=cap_default).num_instances)
-    quantum = 65536 if total > 500_000 else 8192
-    cap_snug = max(((int(total * 1.35) + quantum - 1) // quantum) * quantum, 1 << 14)
+    cap_snug = snug_capacity(total, headroom=1.35)
     print(f"live instances {total}; default cap {cap_default}, snug {cap_snug}",
           file=sys.stderr)
 

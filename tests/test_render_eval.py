@@ -223,6 +223,19 @@ def test_metrics_logger_csv(tmp_path):
     assert rows[1].split(",")[6] == "vgg-random"  # default when untagged
 
 
+def test_metrics_logger_schema_migration(tmp_path):
+    """Appending into a metric.csv with an OLD header must not misalign rows;
+    the legacy file is parked and a fresh one started."""
+    old_header = "iteration,set,l1_loss,psnr,ssim,lpips,file_size,elapsed"
+    (tmp_path / "metric.csv").write_text(old_header + "\n1,test,0.1,20,0.8,0.1,0,1\n")
+    logger = log_mod.MetricsLogger(tmp_path, enable_tensorboard=False)
+    logger.csv_row(2, "test", 0.05, 25.0, 0.9, 0.1, 12.5, 60.0)
+    rows = (tmp_path / "metric.csv").read_text().strip().split("\n")
+    assert rows[0].split(",") == log_mod.CSV_FIELDS
+    assert len(rows) == 2  # header + the new row only
+    assert (tmp_path / "metric_legacy.csv").read_text().startswith(old_header)
+
+
 def test_training_report(tmp_path):
     scene = random_scene(n=100, seed=2, extent=0.8, scale_range=(0.03, 0.1))
     bg = jnp.zeros(3)

@@ -85,3 +85,30 @@ def test_cached_binning_skips_when_scene_changes_shape():
     # if gather doesn't raise (cap rounding may coincide), the result must
     # still be finite — but mismatched capacity SHOULD have raised
     raise AssertionError("capacity-mismatched cached binning did not fail")
+
+
+def test_coarse_trajectory_rebins_adaptively(tmp_path):
+    """Regression (r2 review): a COARSE trajectory (few frames = large camera
+    deltas) must not reuse stale binning — the motion gate has to force a
+    rebin, making cached-path frames identical to fresh-path frames."""
+    from lightgaussian_tpu.render import sets as render_sets
+
+    scene = random_scene(n=300, seed=4, extent=0.8, scale_range=(0.03, 0.09))
+    cams = [_orbit_cam(t) for t in np.linspace(0, 2 * math.pi, 8, endpoint=False)]
+
+    fresh = render_sets.render_trajectory(
+        tmp_path / "fresh", "circular", 1, cams, scene, BG, MAXI,
+        n_frames=6, radius=0.4, interpret=True, rebin_every=1,
+    )
+    cached = render_sets.render_trajectory(
+        tmp_path / "cached", "circular", 1, cams, scene, BG, MAXI,
+        n_frames=6, radius=0.4, interpret=True, rebin_every=8,
+    )
+    from PIL import Image
+
+    for f, c in zip(sorted(fresh.glob("*.png")), sorted(cached.glob("*.png"))):
+        a = np.asarray(Image.open(f), np.float32)
+        b = np.asarray(Image.open(c), np.float32)
+        # coarse deltas trip the motion gate -> fresh binning -> identical
+        np.testing.assert_array_equal(a, b)
+
