@@ -231,17 +231,18 @@ class Binning:
     Rows at positions >= total are all-zero features (alpha == 0, inert).
 
     `pre_pos` maps *pre-sort* instance slots (which are grouped by source
-    Gaussian, ids ascending) to sorted positions — dead slots map to the
-    sentinel CAP so per-instance backward outputs can be gathered with one
-    extra zero row. This lets the backward reduce per-instance gradients with
-    a row-GATHER (~8 ns/row, width-independent) + contiguous segment-sum; the
+    Gaussian, ids ascending) to sorted positions; dead slots (>= total) map
+    to dead sorted positions whose kernel rows are unread garbage (their
+    cumsum positions sit past every segment boundary). This lets the backward
+    reduce per-instance gradients with a
+    row-GATHER (~8 ns/row, width-independent) + contiguous segment-sum; the
     tempting alternatives are far slower on TPU: a row-scatter of the grads
     costs ~6 ns/ELEMENT (~16x more for 16-wide rows, measured 102 -> 203 ms
     per step), and XLA's scatter-add segment sum is worse still.
     """
 
     inst_chunks: jnp.ndarray  # [CAP/128, FEAT_WIDTH, 128] f32, sorted compact
-    pre_pos: jnp.ndarray  # [CAP] int32 pre-sort slot -> sorted position (CAP = dead)
+    pre_pos: jnp.ndarray  # [CAP] int32 pre-sort slot -> sorted position
     gauss_cum: jnp.ndarray  # [N] int32 inclusive cumsum of per-Gaussian tile counts
     tile_starts: jnp.ndarray  # [T+1] int32 raw sorted-order offsets
     total: jnp.ndarray  # scalar int32: true live instances (overflow monitor)
@@ -264,7 +265,16 @@ def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int =
     xb = values.reshape(nb, block, f)
     within = jnp.cumsum(xb, axis=1)
     block_tot = within[:, -1]
-    block_prefix = jnp.cumsum(block_tot, axis=0) - block_tot
+    # Exclusive block prefix via SHIFT, not `cumsum - block_tot`: rows past
+    # the live total are unwritten kernel garbage (NaN in interpret mode),
+    # and the subtraction form computes NaN - NaN for the very block whose
+    # tail holds them, poisoning every in-block prefix. With the shift, a
+    # garbage row only affects cumsum positions at/after it — all strictly
+    # past every segment boundary (gauss_cum <= total), which is what makes
+    # the sentinel-zero-row-free gather in tiled.py safe.
+    block_prefix = jnp.concatenate(
+        [jnp.zeros((1, f), values.dtype), jnp.cumsum(block_tot, axis=0)[:-1]]
+    )
     cs = (within + block_prefix[:, None, :]).reshape(nb * block, f)
     cs0 = jnp.concatenate([jnp.zeros((1, f), values.dtype), cs])
     hi = jnp.minimum(gauss_cum, m)
@@ -413,10 +423,13 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
     # Pre-sort slot -> sorted position. A second (cheap, ~1 payload) sort by
     # the inverse permutation replaces an unsorted scatter, which XLA executes
     # at ~6 ns/element (~2x the cost of this sort for 1-wide rows, ~16x for
-    # the backward's 16-wide rows). Dead slots (sorted positions >= total) get
-    # sentinel CAP so backward gathers hit a dedicated zero row.
+    # the backward's 16-wide rows). Dead slots (i >= total) map to dead sorted
+    # positions (>= total) whose kernel-output rows are unwritten garbage —
+    # harmless by construction: consumers cumsum in pre-sort order and only
+    # read boundary differences at gauss_cum <= total, all BEFORE any dead
+    # row's position (see tiled.py blend_bwd) — so no sentinel/zero-row
+    # indirection is needed.
     _, pre_pos = jax.lax.sort((inv_s, slots), num_keys=1)
-    pre_pos = jnp.where(pre_pos < total, pre_pos, cap)
 
     # Features land in sorted order with ONE row-gather (sentinel id == n hits
     # an appended all-zero row, making padding instances inert).

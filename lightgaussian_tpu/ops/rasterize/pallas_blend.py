@@ -533,7 +533,8 @@ def blend_forward_counting(tile_starts, inst_chunks, grid: TileGrid, interpret: 
     (tile_rgb, tile_T, imp [CAP/128, 1, 128], cnt [CAP/128, 1, 128]).
 
     imp/cnt rows past the live total are unwritten garbage; callers must
-    gather through the sentinel-clamped `Binning.pre_pos` (dead -> zero row).
+    gather through `Binning.pre_pos` and reduce only up to `gauss_cum` bounds
+    (dead rows sit past every segment boundary; see tiled.py).
     """
     ncap = inst_chunks.shape[0]
     kernel = functools.partial(

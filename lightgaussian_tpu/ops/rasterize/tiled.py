@@ -88,11 +88,14 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
         # cumsum + boundary diff. Row-GATHER costs ~8 ns/row independent of
         # width; the tempting row-scatter inverse costs ~6 ns/ELEMENT (16x
         # worse here, measured 102 -> 203 ms/step), and XLA's scatter-add
-        # segment sum is worse still. `pre_pos` is sentinel-clamped: dead
-        # slots hit the appended zero row, never unwritten kernel output.
-        inst_grads = jnp.concatenate(
-            [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)]
-        )
+        # segment sum is worse still.
+        #
+        # No sentinel zero row is needed (round 3; saves a full [CAP, 16]
+        # concatenate copy): pre-sort slots i < total always map to sorted
+        # positions < total — rows the kernel always writes (early-exited
+        # chunks are zero-filled) — and dead slots i >= total gather garbage
+        # only into cumsum positions PAST every segment boundary
+        # (gauss_cum <= total), where no boundary difference ever reads it.
         pre_grads = inst_grads[b.pre_pos]
         per_gauss = binning_mod.segment_reduce_pre(pre_grads, b.gauss_cum)
 
@@ -180,8 +183,9 @@ def blend_tiled_counting(
     image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
 
     stats = jnp.stack([_unchunk(imp)[:, 0], _unchunk(cnt)[:, 0]], axis=1)  # [CAP, 2]
-    stats = jnp.concatenate([stats, jnp.zeros((1, 2), stats.dtype)])
-    pre_stats = stats[b.pre_pos]  # sentinel-clamped: dead slots hit the zero row
+    # Dead slots gather garbage rows that never cross a segment boundary
+    # (see blend_bwd above) — no sentinel zero row needed.
+    pre_stats = stats[b.pre_pos]
     per_gauss = binning_mod.segment_reduce_pre(pre_stats, b.gauss_cum)
     gauss_imp = per_gauss[:, 0]
     gauss_cnt = per_gauss[:, 1].astype(jnp.int32)

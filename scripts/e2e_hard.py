@@ -18,9 +18,20 @@ transcribed in BASELINE.md):
 
 Rows produced (Table-5 numbering):
   [1]  3D-GS trained near convergence
+  [1b] [1] + finetune, NO prune                (equally-trained control: the
+                                                recovery criterion is gated
+                                                against THIS, not the
+                                                undertrained row [1] —
+                                                ADVICE r2 item 1)
   [2c] [1] + GSS prune 60%, NO finetune        (prune really costs)
+  [2s] [1] + GSS prune 60% + SHORT finetune    (reference's 1/6 budget ratio,
+  [2t] [1] + opacity prune 60% + SHORT ft       `prune_finetune.py:313-321`:
+                                                GSS must win POST-finetune
+                                                here, not just at contact —
+                                                VERDICT r2 item 1)
   [2]  [1] + GSS prune 60% + finetune          (recovery to within ~0.3 dB)
-  [2b] [1] + opacity prune 60% + finetune      (ablation: clearly worse)
+  [2b] [1] + opacity prune 60% + finetune      (ablation at full budget; both
+                                                re-converge, see pilot note)
   [3]  [2] + SH 3->2 truncation, NO distill    (costs >= 0.5 dB)
   [4]  [2] + SH 3->2 distillation              (recovers the majority)
   [7]  [4] + VecTree VQ 60%                    (small further cost, big ratio)
@@ -76,15 +87,26 @@ if _ARGS.preset == "hard":
     TRAIN_ITERS = 15_000
     DENSIFY_UNTIL = 9_000
     FT_ITERS = 5_000           # finetune length after the one-shot prune
+    FT_SHORT = 2_500           # TRAIN_ITERS/6 — the reference's finetune:train
+                               # budget ratio (5k on a 30k model,
+                               # `prune_finetune.py:313-321`)
     DISTILL_ITERS = 5_000
     CODEBOOK = 8192            # the reference's operating point
     VQ_FIT_ITERS = 1000
-    MAX_INST = 2_228_224
-    DENSIFY_THRESH = 6.0e-5    # over-densify to ~2.5-3x the target count (the
-                               # paper's premise: trained 3D-GS models carry 2x+
-                               # redundant Gaussians) so a 60% prune keeps the
-                               # capacity ABOVE the scene's intrinsic complexity
-                               # and finetune can actually recover
+    MAX_INST = 4_194_304       # eval/GSS-sweep instance capacity. Sized with
+                               # ~2x headroom over the worst case extrapolated
+                               # from the pilot (which over-densified to ~5.6x
+                               # the 24k target); the training loop auto-sizes
+                               # its own buffer, this cap only serves the
+                               # fixed-shape eval renders, where overflow now
+                               # fails loudly (eval_scene) instead of silently
+                               # truncating the deepest splats
+    DENSIFY_THRESH = 6.0e-5    # over-densify well past the target count (the
+                               # pilot lands at ~5.6x its 24k target; the
+                               # paper's premise is that trained 3D-GS models
+                               # carry heavy redundancy) so a 60% prune keeps
+                               # capacity ABOVE the scene's intrinsic
+                               # complexity and finetune can actually recover
 else:  # pilot: same physics, ~6x cheaper, for calibration runs
     W = H = 256
     N_TARGET = 24_000
@@ -92,6 +114,7 @@ else:  # pilot: same physics, ~6x cheaper, for calibration runs
     TRAIN_ITERS = 6_000
     DENSIFY_UNTIL = 3_500
     FT_ITERS = 5_000
+    FT_SHORT = 1_000
     DISTILL_ITERS = 2_500
     CODEBOOK = 4096
     VQ_FIT_ITERS = 1000
@@ -264,14 +287,22 @@ def eval_scene(scene: GaussianScene, test_cams, gts, tag="") -> dict:
         scene = compact(scene, EVAL_CAP[0])
     cap = scene.capacity
     if cap not in _EVAL_CACHE:
-        _EVAL_CACHE[cap] = jax.jit(
-            lambda s, cam: jnp.clip(
-                render(s, cam, BG, method="tiled", max_instances=MAX_INST).render, 0, 1))
+        def _ev(s, cam):
+            out = render(s, cam, BG, method="tiled", max_instances=MAX_INST)
+            return jnp.clip(out.render, 0, 1), out.num_instances
+        _EVAL_CACHE[cap] = jax.jit(_ev)
     rj = _EVAL_CACHE[cap]
     lp = get_lpips_params()
     psnrs, ssims, lpipss = [], [], []
     for cam, gt in zip(test_cams, gts):
-        img = rj(scene, cam)
+        img, n_inst = rj(scene, cam)
+        if int(n_inst) >= MAX_INST:
+            # binning clamps at capacity: the deepest splats of this view were
+            # dropped, so every metric would be silently corrupted (ADVICE r2
+            # item 2). Fail loudly instead.
+            raise RuntimeError(
+                f"eval[{tag}]: instance buffer overflow ({int(n_inst)} >= "
+                f"MAX_INST {MAX_INST}) — raise MAX_INST; metrics would be invalid")
         psnrs.append(float(losses.psnr(img, gt)))
         ssims.append(float(losses.ssim(img, gt)))
         lpipss.append(float(lpips_fn(lp, img, gt)))
@@ -320,8 +351,9 @@ def main():
     # ---- dataset + row [1]: train near convergence -----------------------
     if not (_ARGS.skip_train and (MODEL / f"chkpnt{TRAIN_ITERS}.npz").exists()):
         dump_dataset(target)
-        for p in [MODEL, Path(str(MODEL) + "_pf"), Path(str(MODEL) + "_pf_op"),
-                  Path(str(MODEL) + "_distill")]:
+        for p in [MODEL, Path(str(MODEL) + "_ctrl"), Path(str(MODEL) + "_pf"),
+                  Path(str(MODEL) + "_pf_op"), Path(str(MODEL) + "_pf_s"),
+                  Path(str(MODEL) + "_pf_op_s"), Path(str(MODEL) + "_distill")]:
             shutil.rmtree(p, ignore_errors=True)
         train_densify_prune.main([
             "-s", str(OUT), "-m", str(MODEL),
@@ -341,6 +373,31 @@ def main():
     s1 = ply_mod.load_gaussian_ply(raw_ply)
     rows.append(("[1] 3D-GS trained", eval_scene(s1, test_cams, gts, "[1]"),
                  mb(raw_ply), ply_count(raw_ply)))
+
+    # ---- row [1b]: equally-trained no-prune control -----------------------
+    # Finetune row [1] for the same FT_ITERS WITHOUT pruning. The recovery
+    # criterion gates against this, not against [1]: the pilot showed both
+    # pruned+finetuned rows EXCEED the raw baseline (row [1] is undertrained,
+    # not fully converged), so "recovers to within X dB of [1]" was vacuous
+    # (ADVICE r2 item 1). NEVER_PRUNE keeps the prune branch unreachable.
+    FT_END = TRAIN_ITERS + FT_ITERS
+    NEVER_PRUNE = str(10 * FT_END)
+    ctrl = Path(str(MODEL) + "_ctrl")
+    if not (ctrl / f"point_cloud/iteration_{FT_END}/point_cloud.ply").exists():
+        prune_finetune.main([
+            "-s", str(OUT), "-m", str(ctrl),
+            "--start_checkpoint", str(MODEL / f"chkpnt{TRAIN_ITERS}.npz"),
+            "--iterations", str(FT_END),
+            "--prune_iterations", NEVER_PRUNE,
+            "--eval", "--test_iterations", str(FT_END),
+            "--save_iterations", str(FT_END),
+            "--checkpoint_iterations", str(FT_END),
+            "--position_lr_max_steps", str(FT_END),
+        ])
+    ctrl_ply = ctrl / f"point_cloud/iteration_{FT_END}/point_cloud.ply"
+    rows.append(("[1b] + finetune, NO prune (equally-trained control)",
+                 eval_scene(ply_mod.load_gaussian_ply(ctrl_ply), test_cams, gts, "[1b]"),
+                 mb(ctrl_ply), ply_count(ctrl_ply)))
 
     # ---- row [2c]: GSS prune 60%, NO finetune ----------------------------
     state, it0, extent = ckpt_mod.load_checkpoint(MODEL / f"chkpnt{TRAIN_ITERS}.npz")
@@ -368,8 +425,35 @@ def main():
                  mb(raw_ply) * (1 - PRUNE_RATIO),
                  int(op_state.scene.num_alive())))
 
+    # ---- rows [2s]/[2t]: prune + SHORT finetune (reference budget ratio) --
+    # The reference finetunes 5k iters on a 30k-trained model — a 1/6 budget
+    # under which the optimizer CANNOT fully re-converge either prune, so the
+    # ranking quality of the score must still show post-finetune (VERDICT r2
+    # item 1; `prune_finetune.py:313-321`). FT_SHORT = TRAIN_ITERS/6.
+    FTS_END = TRAIN_ITERS + FT_SHORT
+    for suffix, ptype, label, tag in (
+        ("_pf_s", "v_important_score", "[2s] + GSS prune 60% + short finetune (1/6 budget)", "[2s]"),
+        ("_pf_op_s", "opacity", "[2t] + opacity prune 60% + short finetune (ablation)", "[2t]"),
+    ):
+        d = Path(str(MODEL) + suffix)
+        if not (d / f"point_cloud/iteration_{FTS_END}/point_cloud.ply").exists():
+            prune_finetune.main([
+                "-s", str(OUT), "-m", str(d),
+                "--start_checkpoint", str(MODEL / f"chkpnt{TRAIN_ITERS}.npz"),
+                "--iterations", str(FTS_END),
+                "--prune_iterations", str(TRAIN_ITERS + 5),
+                "--prune_percent", str(PRUNE_RATIO),
+                "--prune_type", ptype,
+                "--eval", "--test_iterations", str(FTS_END),
+                "--save_iterations", str(FTS_END),
+                "--checkpoint_iterations", str(FTS_END),
+                "--position_lr_max_steps", str(FTS_END),
+            ])
+        p = d / f"point_cloud/iteration_{FTS_END}/point_cloud.ply"
+        rows.append((label, eval_scene(ply_mod.load_gaussian_ply(p), test_cams, gts, tag),
+                     mb(p), ply_count(p)))
+
     # ---- row [2]: GSS prune 60% + finetune -------------------------------
-    FT_END = TRAIN_ITERS + FT_ITERS
     pf = Path(str(MODEL) + "_pf")
     if not (pf / f"point_cloud/iteration_{FT_END}/point_cloud.ply").exists():
         prune_finetune.main([
@@ -455,8 +539,9 @@ def main():
 
     # ---- report ------------------------------------------------------------
     by = {r[0].split("]")[0] + "]": r for r in rows}
-    p1, p2, p2b, p2c = (by[k][1]["PSNR"] for k in ("[1]", "[2]", "[2b]", "[2c]"))
-    p2d = by["[2d]"][1]["PSNR"]
+    p1, p1b, p2, p2b = (by[k][1]["PSNR"] for k in ("[1]", "[1b]", "[2]", "[2b]"))
+    p2c, p2d = (by[k][1]["PSNR"] for k in ("[2c]", "[2d]"))
+    p2s, p2t = (by[k][1]["PSNR"] for k in ("[2s]", "[2t]"))
     p3, p4, p7 = (by[k][1]["PSNR"] for k in ("[3]", "[4]", "[7]"))
     ratio = by["[1]"][2] / max(by["[7]"][2], 1e-9)
     recovery = (p4 - p3) / max(p2 - p3, 1e-9)
@@ -464,10 +549,16 @@ def main():
     crit = [
         ("prune really costs (no-finetune drop >= 0.5 dB)", p1 - p2c >= 0.5,
          f"{p1 - p2c:+.2f} dB"),
-        ("GSS prune + finetune recovers to within 0.3 dB", p1 - p2 <= 0.3,
-         f"{p1 - p2:+.2f} dB"),
+        # gated against the EQUALLY-TRAINED control [1b], not the undertrained
+        # raw baseline [1] (ADVICE r2 item 1)
+        ("GSS prune + finetune within 0.3 dB of equally-trained no-prune control",
+         p1b - p2 <= 0.3, f"{p1b - p2:+.2f} dB"),
         ("GSS beats opacity ranking at contact (no finetune, >= 1 dB)",
          p2c - p2d >= 1.0, f"{p2c - p2d:+.2f} dB"),
+        # the reference's operating point: 1/6 finetune budget cannot mask the
+        # ranking difference (VERDICT r2 item 1)
+        ("GSS beats opacity AFTER short finetune (1/6 budget, >= 0.1 dB)",
+         p2s - p2t >= 0.1, f"{p2s - p2t:+.2f} dB"),
         ("SH truncation costs >= 0.5 dB", p2 - p3 >= 0.5, f"{p2 - p3:+.2f} dB"),
         ("distillation recovers the majority", recovery >= 0.5,
          f"{100 * recovery:.0f}% of {p2 - p3:.2f} dB"),
@@ -484,20 +575,24 @@ def main():
         f"at {W}x{H}; trained {TRAIN_ITERS} iters with densification. All "
         "stages run through the real CLIs on one TPU chip. Rows mirror the "
         "reference's Table 5 (BASELINE.md) incl. the truncation-without-distill "
-        "ablation row [3] and the GSS-vs-opacity prune ablation [2b].",
+        "ablation row [3], the GSS-vs-opacity prune ablations at contact "
+        "([2c]/[2d]), at the reference's 1/6 finetune budget ([2s]/[2t]) and at "
+        "full budget ([2]/[2b]), and the equally-trained no-prune control [1b] "
+        "that the recovery criterion is gated against.",
         "",
         "| Row | PSNR | SSIM | LPIPS* | size MB | #Gauss |",
         "|---|---|---|---|---|---|",
     ]
     for name, m, size, n in rows:
         lines.append(f"| {name} | {m['PSNR']:.2f} | {m['SSIM']:.4f} | "
-                     f"{m['LPIPS']:.4f} | {size:.2f} | {n} |")
+                     f"{m['LPIPS']:.2e} | {size:.2f} | {n} |")
     lines += [
         "",
-        "*LPIPS kind: vgg-random (no pretrained weights on this box; "
-        "relative ordering only).",
+        "*LPIPS kind: vgg-random (no pretrained weights on this box). Printed "
+        "in scientific notation because random-VGG distances are ~1e-5-scale; "
+        "relative ordering only, not comparable to published LPIPS values.",
         "",
-        "## Criteria (VERDICT r1 item 1)",
+        "## Criteria (VERDICT r1 item 1 + r2 item 1; ADVICE r2)",
         "",
         "| Criterion | Result | Value |",
         "|---|---|---|",
@@ -506,8 +601,17 @@ def main():
     for name, ok, val in crit:
         ok_all &= ok
         lines.append(f"| {name} | {'PASS' if ok else 'FAIL'} | {val} |")
-    lines += ["", f"Total wall-clock: {(time.time() - t_start) / 60:.1f} min "
-              f"(preset {_ARGS.preset}).", ""]
+    lines += [
+        "",
+        f"Note on the FULL-budget ablation [2] vs [2b]: with FT_ITERS="
+        f"{FT_ITERS} (~{FT_ITERS/TRAIN_ITERS:.0%} of the training budget) both "
+        f"prunes re-converge toward the capacity-limited ceiling, so their gap "
+        f"({p2 - p2b:+.2f} dB here) is within re-convergence noise — the GSS "
+        "advantage is demonstrated at contact ([2c]/[2d]) and at the "
+        "reference's 1/6 finetune budget ([2s]/[2t]).",
+        "",
+        f"Total wall-clock: {(time.time() - t_start) / 60:.1f} min "
+        f"(preset {_ARGS.preset}).", ""]
     out_md = REPO / ("E2E_TPU_hard.md" if _ARGS.preset == "hard" else "E2E_TPU_pilot.md")
     out_md.write_text("\n".join(lines))
     print("\n".join(lines), flush=True)

@@ -77,22 +77,32 @@ def main():
     @jax.jit
     def reduce_grads(grad_chunks):
         inst_grads = _unchunk(grad_chunks)
-        inst_grads = jnp.concatenate(
-            [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)])
         pre = inst_grads[b.pre_pos]
         return binning_mod.segment_reduce_pre(pre, b.gauss_cum)
 
-    timeit("unchunk+gather+segment_reduce", reduce_grads, gc)
+    timeit("unchunk+gather+segment_reduce (no concat)", reduce_grads, gc)
 
     @jax.jit
-    def reduce_grads9(grad_chunks):
-        inst_grads = _unchunk(grad_chunks)[:, :9]
+    def reduce_grads_concat(grad_chunks):
+        inst_grads = _unchunk(grad_chunks)
         inst_grads = jnp.concatenate(
-            [inst_grads, jnp.zeros((1, 9), inst_grads.dtype)])
-        pre = inst_grads[b.pre_pos]
+            [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)])
+        pre = inst_grads[jnp.minimum(b.pre_pos, inst_grads.shape[0] - 1)]
         return binning_mod.segment_reduce_pre(pre, b.gauss_cum)
 
-    timeit("  same, 9-wide", reduce_grads9, gc)
+    timeit("  same, with sentinel concat (round-2 form)", reduce_grads_concat, gc)
+
+    @jax.jit
+    def unchunk_only(grad_chunks):
+        return _unchunk(grad_chunks)
+
+    timeit("  unchunk transpose only", unchunk_only, gc)
+
+    @jax.jit
+    def gather_only(grad_chunks):
+        return _unchunk(grad_chunks)[b.pre_pos]
+
+    timeit("  unchunk+gather only", gather_only, gc)
 
     # preprocess VJP
     params = scene.params()

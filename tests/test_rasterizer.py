@@ -187,3 +187,44 @@ class TestExactTileBinning:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
             )
+
+
+class TestSegmentReduceGarbageTail:
+    """The round-3 sentinel-free gradient reduce relies on two properties of
+    `segment_reduce_pre`: (1) rows at positions past the last segment boundary
+    never influence any output — even when they are NaN/Inf (unwritten kernel
+    HBM is arbitrary garbage, NaN in interpret mode); (2) the block prefix is
+    built by SHIFT, not `cumsum - block_tot`, which would compute NaN - NaN
+    for the very block whose tail holds the garbage (the round-3 regression
+    caught by test_grads_match_oracle)."""
+
+    def test_nan_tail_is_inert(self, rng):
+        import jax.numpy as jnp
+        from lightgaussian_tpu.ops.rasterize.binning import segment_reduce_pre
+
+        n, total, cap, f = 37, 1500, 4096, 16
+        vals = rng.normal(size=(cap, f)).astype(np.float32)
+        vals[total:] = np.nan  # garbage tail INSIDE the boundary block too
+        # segment boundaries: n segments covering exactly [0, total)
+        cuts = np.sort(rng.choice(np.arange(1, total), n - 1, replace=False))
+        cum = np.concatenate([cuts, [total]]).astype(np.int32)
+        got = np.asarray(
+            segment_reduce_pre(jnp.asarray(vals), jnp.asarray(cum), block=512)
+        )
+        assert np.isfinite(got).all(), "garbage tail leaked into segment sums"
+        lo = np.concatenate([[0], cum[:-1]])
+        want = np.stack([vals[a:b].sum(axis=0) for a, b in zip(lo, cum)])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_zero_count_segments(self, rng):
+        import jax.numpy as jnp
+        from lightgaussian_tpu.ops.rasterize.binning import segment_reduce_pre
+
+        vals = rng.normal(size=(256, 4)).astype(np.float32)
+        vals[100:] = np.inf
+        cum = jnp.asarray([40, 40, 100, 100], jnp.int32)  # two empty segments
+        got = np.asarray(segment_reduce_pre(jnp.asarray(vals), cum, block=64))
+        np.testing.assert_allclose(got[1], 0.0)
+        np.testing.assert_allclose(got[3], 0.0)
+        np.testing.assert_allclose(got[0], vals[:40].sum(axis=0), rtol=1e-5)
+        np.testing.assert_allclose(got[2], vals[40:100].sum(axis=0), rtol=1e-5)
