@@ -137,7 +137,7 @@ def parity_gate() -> None:
                       "vs_baseline": 1.0}))
 
 
-def main(batch: int = 1):
+def main(batch: int = 1, iters: int = ITERS):
     scene = random_scene(
         n=N_GAUSS, seed=0, extent=2.0, scale_range=(0.004, 0.02), active_sh_degree=3
     )
@@ -195,10 +195,10 @@ def main(batch: int = 1):
     jax.block_until_ready(grads)
 
     t0 = time.time()
-    for _ in range(ITERS):
+    for _ in range(iters):
         grads, _ = step(params)
     jax.block_until_ready(grads)
-    dt = (time.time() - t0) / ITERS
+    dt = (time.time() - t0) / iters
 
     pix_per_s = batch * WIDTH * HEIGHT / dt
     print(f"step time: {dt*1e3:.1f} ms ({batch} cameras)", file=sys.stderr)
@@ -220,8 +220,10 @@ if __name__ == "__main__":
                     help="run the compiled-kernel parity gate instead of the throughput bench")
     ap.add_argument("--batch", type=int, default=1,
                     help="cameras per step (multi-camera batched train step)")
+    ap.add_argument("--iters", type=int, default=ITERS,
+                    help="timed iterations (higher = less variance)")
     cli_args = ap.parse_args()
     if cli_args.parity:
         parity_gate()
     else:
-        main(cli_args.batch)
+        main(cli_args.batch, cli_args.iters)

@@ -278,10 +278,13 @@ def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int =
     cs = (within + block_prefix[:, None, :]).reshape(nb * block, f)
     cs0 = jnp.concatenate([jnp.zeros((1, f), values.dtype), cs])
     hi = jnp.minimum(gauss_cum, m)
-    lo = jnp.minimum(
-        jnp.concatenate([jnp.zeros((1,), gauss_cum.dtype), gauss_cum[:-1]]), m
-    )
-    return cs0[hi] - cs0[lo]
+    # lo[g] == hi[g-1] (exclusive cumsum = inclusive cumsum shifted), so ONE
+    # row-gather + a shifted difference replaces two gathers — row gathers
+    # are the latency-bound cost here (~8 ns/row), and this halves them.
+    # Bit-identical to cs0[hi] - cs0[lo]: the same gathered values are
+    # subtracted either way.
+    ch = cs0[hi]
+    return ch - jnp.concatenate([jnp.zeros((1, f), values.dtype), ch[:-1]])
 
 
 # Instance offsets ride in f32 metadata rows (see bin_splats' packed `meta`

@@ -572,6 +572,33 @@ def blend_forward_counting(tile_starts, inst_chunks, grid: TileGrid, interpret: 
     )(tile_starts, inst_chunks)
 
 
+@functools.partial(jax.jit, static_argnames=("chunks_per_block", "interpret"))
+def unchunk_transpose(grad_chunks, chunks_per_block: int = 16, interpret: bool = False):
+    """[NC, F, 128] chunk-major -> [NC*128, F] instance-major as a Pallas
+    kernel — an A/B candidate against the XLA `transpose(0,2,1).reshape`
+    form (`tiled._unchunk`): the sublane<->lane transpose is the only work,
+    so whichever backend lowers the [F, 128] -> [128, F] permutation better
+    wins. Measured in scripts/profile_bwd.py; only wired into the hot path
+    on a measured end-to-end step win (PERF.md round-3 discipline)."""
+    nc, f, g = grad_chunks.shape
+    k = chunks_per_block
+    while nc % k:
+        k //= 2
+
+    def kernel(src_ref, out_ref):
+        x = src_ref[...]  # [k, F, 128]
+        out_ref[...] = x.transpose(0, 2, 1).reshape(k * g, f)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nc // k,),
+        in_specs=[pl.BlockSpec((k, f, g), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((k * g, f), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nc * g, f), grad_chunks.dtype),
+        interpret=interpret,
+    )(grad_chunks)
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "interpret"))
 def blend_backward(tile_starts, inst_chunks, tile_g_rgb, tile_r_init, grid: TileGrid, interpret: bool = False):
     """Per-instance feature gradients [CAP/128, FEAT_WIDTH, 128].

@@ -83,6 +83,17 @@ def main():
     timeit("unchunk+gather+segment_reduce (no concat)", reduce_grads, gc)
 
     @jax.jit
+    def reduce_grads_barrier(grad_chunks):
+        # concat removal lets XLA fuse the transpose into the gather (the
+        # catastrophic chunk-major-gather pattern); the barrier forces the
+        # materialization the concat used to provide, without the copy.
+        inst_grads = jax.lax.optimization_barrier(_unchunk(grad_chunks))
+        pre = inst_grads[b.pre_pos]
+        return binning_mod.segment_reduce_pre(pre, b.gauss_cum)
+
+    timeit("  same, with optimization_barrier", reduce_grads_barrier, gc)
+
+    @jax.jit
     def reduce_grads_concat(grad_chunks):
         inst_grads = _unchunk(grad_chunks)
         inst_grads = jnp.concatenate(
@@ -97,6 +108,10 @@ def main():
         return _unchunk(grad_chunks)
 
     timeit("  unchunk transpose only", unchunk_only, gc)
+
+    for k in (8, 16, 32):
+        timeit(f"  pallas unchunk_transpose k={k}",
+               lambda g, _k=k: pk.unchunk_transpose(g, chunks_per_block=_k), gc)
 
     @jax.jit
     def gather_only(grad_chunks):
