@@ -228,3 +228,15 @@ class TestSegmentReduceGarbageTail:
         np.testing.assert_allclose(got[3], 0.0)
         np.testing.assert_allclose(got[0], vals[:40].sum(axis=0), rtol=1e-5)
         np.testing.assert_allclose(got[2], vals[40:100].sum(axis=0), rtol=1e-5)
+
+
+def test_unchunk_transpose_matches_xla(rng):
+    """Pallas A/B candidate must be bit-identical to the XLA unchunk form."""
+    import jax.numpy as jnp
+    from lightgaussian_tpu.ops.rasterize import pallas_blend as pk
+    from lightgaussian_tpu.ops.rasterize.tiled import _unchunk
+
+    x = jnp.asarray(rng.normal(size=(48, 16, 128)).astype(np.float32))
+    for k in (8, 16):
+        got = np.asarray(pk.unchunk_transpose(x, chunks_per_block=k, interpret=True))
+        np.testing.assert_array_equal(got, np.asarray(_unchunk(x)))
