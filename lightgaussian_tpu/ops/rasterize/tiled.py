@@ -90,12 +90,18 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
         # worse here, measured 102 -> 203 ms/step), and XLA's scatter-add
         # segment sum is worse still.
         #
-        # No sentinel zero row is needed (round 3; saves a full [CAP, 16]
-        # concatenate copy): pre-sort slots i < total always map to sorted
-        # positions < total — rows the kernel always writes (early-exited
-        # chunks are zero-filled) — and dead slots i >= total gather garbage
-        # only into cumsum positions PAST every segment boundary
-        # (gauss_cum <= total), where no boundary difference ever reads it.
+        # The concatenate looks removable (dead slots gather garbage rows
+        # whose cumsum positions sit past every segment boundary — harmless,
+        # see segment_reduce_pre) but it is LOAD-BEARING FOR LAYOUT, not
+        # semantics: without it XLA feeds the gather the transpose's output
+        # in its transpose-native (column-major-ish) layout, so every
+        # gathered "row" touches 16 strided cache lines, and the fused
+        # gather runs ~2x slower END TO END (measured r3, profile_bwd:
+        # 19.4 ms with the copy vs 37.4 ms without, optimization_barrier
+        # does not help). The copy forces a row-contiguous operand.
+        inst_grads = jnp.concatenate(
+            [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)]
+        )
         pre_grads = inst_grads[b.pre_pos]
         per_gauss = binning_mod.segment_reduce_pre(pre_grads, b.gauss_cum)
 
@@ -183,8 +189,9 @@ def blend_tiled_counting(
     image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
 
     stats = jnp.stack([_unchunk(imp)[:, 0], _unchunk(cnt)[:, 0]], axis=1)  # [CAP, 2]
-    # Dead slots gather garbage rows that never cross a segment boundary
-    # (see blend_bwd above) — no sentinel zero row needed.
+    # The concat is a layout-forcing copy for the row-gather (see blend_bwd
+    # above); dead slots hitting the appended zero row is incidental.
+    stats = jnp.concatenate([stats, jnp.zeros((1, 2), stats.dtype)])
     pre_stats = stats[b.pre_pos]
     per_gauss = binning_mod.segment_reduce_pre(pre_stats, b.gauss_cum)
     gauss_imp = per_gauss[:, 0]

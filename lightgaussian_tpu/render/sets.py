@@ -81,7 +81,9 @@ def render_trajectory(
     n_frames: int = 600,
     radius: float = 0.5,
     interpret: bool = False,
-    rebin_every: int = 8,
+    rebin_every: int = 4,  # on-chip 300k/1080p: worst reused frame 27.4 dB
+                           # vs fresh at 4 (19.9 dB at 8) for ~5% FPS
+                           # (PERF.md round 3); 1 = fresh every frame
 ) -> Path:
     """Trajectory renders (`render_video.py:93-137`): kind in
     {"ellipse", "circular", "spherical", "spherify", "spiral"}; frames into
@@ -120,12 +122,16 @@ def render_trajectory(
     # Temporal binning reuse: nearby trajectory cameras share a valid
     # (tile | depth) sort order, so keyframes bin fresh and in-between frames
     # only re-gather features (skips ~60% of binning; deltas quantified in
-    # tests/test_temporal_binning and PERF.md round-2). Reuse is gated on
-    # ACTUAL camera motion since the keyframe — a fixed frame count corrupts
-    # coarse trajectories (36-degree spherical-path jumps, short orbits):
-    # at the validated 600-frame orbit the ~0.6 deg/frame drift stays >55 dB
-    # vs fresh binning for 8 frames, so the gate is ~4.8 deg / 2% travel.
-    # `rebin_every` remains the upper bound between keyframes. The instance
+    # tests/test_temporal_binning and PERF.md). Reuse is gated on ACTUAL
+    # camera motion since the keyframe — a fixed frame count corrupts coarse
+    # trajectories (36-degree spherical-path jumps, short orbits); gate is
+    # ~4.8 deg / 2% travel. Fidelity depends on splat size relative to the
+    # per-frame drift: small interpret-mode scenes stay >55 dB for 8 reused
+    # frames, but an on-chip 300k fine-splat scene at 1080p measures worst
+    # reused frames of 27.4 dB (rebin 4) / 19.9 dB (rebin 8) vs fresh
+    # (PERF.md round 3) — hence the rebin-4 default and the rebin-1 escape
+    # hatch for export. `rebin_every` is the upper bound between keyframes.
+    # The instance
     # buffer is right-sized from the first frame's live count (the default
     # heuristic over-allocates ~3x).
     def cam_drift(a: Camera, b: Camera) -> tuple[float, float]:

@@ -94,7 +94,10 @@ if _ARGS.preset == "hard1080":
     DISTILL_ITERS = 5_000
     CODEBOOK = 8192
     VQ_FIT_ITERS = 1000
-    MAX_INST = 8_388_608
+    MAX_INST = 4_194_304   # the 512^2 run peaked near ~0.25M live instances
+                           # at 101k Gaussians; ~1-2M expected here, so 4.2M
+                           # keeps >2x headroom without paying extra
+                           # capacity-scaled eval cost
     DENSIFY_THRESH = 7.0e-5
 elif _ARGS.preset == "hard":
     W = H = 512
