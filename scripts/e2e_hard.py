@@ -24,6 +24,7 @@ Rows produced (Table-5 numbering):
                                                 undertrained row [1] —
                                                 ADVICE r2 item 1)
   [2c] [1] + GSS prune 60%, NO finetune        (prune really costs)
+  [2d] [1] + opacity prune 60%, NO finetune    (at-contact ranking ablation)
   [2s] [1] + GSS prune 60% + SHORT finetune    (reference's 1/6 budget ratio,
   [2t] [1] + opacity prune 60% + SHORT ft       `prune_finetune.py:313-321`:
                                                 GSS must win POST-finetune
