@@ -42,12 +42,14 @@ BASELINE_PIX_PER_S = 15e6
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 300_000
-# Steady-state instance capacity: the training loop auto-sizes the buffer to
-# 1.4x the live instance count rounded up to a 64k quantum (this scene bins
-# 768,651 instances with the tight alpha-support rects + exact ellipse-tile
-# intersection masks); every per-instance binning cost scales with capacity,
-# so bench uses the capacity real training settles at.
-MAX_INSTANCES = 1_114_112
+# Steady-state instance capacity: the training loop's two-phase policy grows
+# at 1.4x headroom during densification and snugs to 1.25x once counts
+# stabilize (train/loop.py round 3; this scene bins 768,651 instances with
+# the tight alpha-support rects + exact ellipse-tile intersection masks,
+# snug_capacity(768651, 1.25) -> 983,040 at the 64k quantum); every
+# per-instance binning cost scales with capacity, so bench uses the capacity
+# real training settles at.
+MAX_INSTANCES = 983_040
 WARMUP, ITERS = 3, 10
 
 

@@ -157,6 +157,11 @@ def train(
     # reference blocks per iter on loss.item(), `train_densify_prune.py:145`;
     # on TPU that stall is avoidable).
     SYNC_LAG = 8
+    GROW_HEADROOM = 1.4    # densification phase: wide band, few recompiles
+    SNUG_HEADROOM = 1.25   # stable phase: tight buffer, +4% step throughput
+    SNUG_SHRINK_FRAC = 1.0 / (SNUG_HEADROOM * 1.065)  # shrink only if the
+    #   snugged capacity would still sit ~6.5% above the observed live count
+    #   (else the resize would immediately re-trigger the 0.85 grow band)
     pending: list = []  # [(iteration, metrics), ...] oldest first
 
     def consume_metrics() -> None:
@@ -187,9 +192,21 @@ def train(
             if inst_used > 0.85 * max_instances:
                 resize_request = ("grow", inst_used, it0)
                 shrink_streak = 0
-            elif inst_used < 0.4 * max_instances and inst_used > 0:
+            elif inst_used < SNUG_SHRINK_FRAC * max_instances and inst_used > 0:
+                # Two-phase capacity policy (round 3, measured): growth uses
+                # wide 1.4x headroom (absorbs densification between resize
+                # checks); once counts STABILIZE — usage persistently below
+                # ~75% of capacity for 300 consecutive iterations — snug
+                # down to SNUG_HEADROOM. Every per-instance binning cost
+                # scales with CAPACITY, and 1.4x -> 1.25x headroom is worth
+                # +4% end-to-end step throughput (PERF.md round 3);
+                # steady-state camera variance measured at +-3%, inside the
+                # 0.85-grow-trigger band (snugged usage 80% vs 85% trigger).
+                # A variance spike re-grows to the wide band; the 300-iter
+                # streak bounds grow/shrink oscillation to one (cache-warm)
+                # recompile pair per ~300 iterations.
                 shrink_streak += 1
-                if shrink_streak >= 30:
+                if shrink_streak >= 300:
                     resize_request = ("shrink", inst_used, it0)
                     shrink_streak = 0
             else:
@@ -250,14 +267,18 @@ def train(
         if resize_request is not None:
             kind, inst_used, it0 = resize_request
             resize_request = None
-            # 1.4x headroom over the live count: every per-instance binning op
-            # taxes CAPACITY, so thinner headroom buys step time directly; the
-            # 0.85 grow trigger still leaves 15% for camera-to-camera variance
-            # before a (one-step, self-healing) overflow truncation. Large
-            # buffers round up to 64k so repeat runs hit the compile cache.
+            # Headroom over the live count: every per-instance binning op
+            # taxes CAPACITY, so thinner headroom buys step time directly;
+            # the 0.85 grow trigger still leaves margin for camera-to-camera
+            # variance (measured +-3% steady-state) before a (one-step,
+            # self-healing) overflow truncation. Growth keeps the wide band;
+            # stable-phase shrinks snug down (two-phase policy, PERF.md r3).
+            # Large buffers round up to 64k so repeat runs hit the compile
+            # cache.
             from lightgaussian_tpu.ops.rasterize.binning import MAX_CAPACITY, snug_capacity
 
-            new_cap = snug_capacity(inst_used, headroom=1.4, quantum_small=128, floor=1024)
+            headroom = GROW_HEADROOM if kind == "grow" else SNUG_HEADROOM
+            new_cap = snug_capacity(inst_used, headroom=headroom, quantum_small=128, floor=1024)
 
             if new_cap > MAX_CAPACITY:
                 print(

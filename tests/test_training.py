@@ -234,6 +234,30 @@ class TestLoopAutoGrow:
         assert state.scene.capacity > 128
 
 
+
+    def test_instance_buffer_snugs_when_stable(self, setup, tmp_path, capsys):
+        """Two-phase capacity policy (round 3): persistent usage below ~75%
+        of capacity for 300 iterations snugs the buffer to SNUG_HEADROOM."""
+        from lightgaussian_tpu.config import TrainConfig
+        from lightgaussian_tpu.train import loop as loop_mod
+        from lightgaussian_tpu.utils.logging import MetricsLogger
+
+        target_scene, student, cams = setup
+        cfg = TrainConfig(
+            opt=OptimizationParams(iterations=320, densify_from_iter=999),
+            test_iterations=[], save_iterations=[], checkpoint_iterations=[],
+            prune_iterations=[],
+        )
+        loop_mod.train(
+            self._fake_scene(student, cams, tmp_path), cfg, BG,
+            max_instances=4096, densify=False, interpret=True,
+            logger=MetricsLogger(tmp_path, enable_tensorboard=False),
+        )
+        out = capsys.readouterr().out
+        assert "shrinking to" in out, "stable-phase snug shrink did not trigger"
+        assert "overflow" not in out
+
+
 def test_batched_step_semantics(setup):
     """camera_batch=B: ONE Adam update on the mean-over-cameras loss, with
     per-camera densification-stat accumulation identical to B independent
