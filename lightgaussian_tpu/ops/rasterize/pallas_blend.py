@@ -126,9 +126,8 @@ def _chunk_alpha(f, lx, ly, ox, oy, pix_valid, row_valid):
 
 def _shift_down(x, s: int, fill: float):
     """x[i] <- x[i - s] along axis 0, top s rows <- fill (static s)."""
-    rolled = jnp.roll(x, s, axis=0)
-    ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(ri < s, fill, rolled)
+    top = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([top, x[: x.shape[0] - s]], axis=0)
 
 
 def _inclusive_scan_mul(x):
