@@ -139,7 +139,7 @@ def parity_gate() -> None:
                       "vs_baseline": 1.0}))
 
 
-def main(batch: int = 1, iters: int = ITERS):
+def main(batch: int = 1, iters: int = ITERS, repeats: int = 5):
     scene = random_scene(
         n=N_GAUSS, seed=0, extent=2.0, scale_range=(0.004, 0.02), active_sh_degree=3
     )
@@ -196,14 +196,29 @@ def main(batch: int = 1, iters: int = ITERS):
         grads, _ = step(params)
     jax.block_until_ready(grads)
 
-    t0 = time.time()
-    for _ in range(iters):
-        grads, _ = step(params)
-    jax.block_until_ready(grads)
-    dt = (time.time() - t0) / iters
+    # Median-of-`repeats` timing groups with spread: single-run step times on
+    # this box vary +-2-3 ms (tunnel/dispatch noise), and round-3's headline
+    # drifted from the driver's capture by quoting a best run. The reported
+    # number is the MEDIAN group; the spread is recorded alongside it so any
+    # future "win" must clear the noise band to count.
+    group_ms = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            grads, _ = step(params)
+        jax.block_until_ready(grads)
+        group_ms.append((time.time() - t0) / iters * 1e3)
+    group_ms.sort()
+    dt_ms = group_ms[len(group_ms) // 2]
+    if len(group_ms) % 2 == 0:
+        dt_ms = 0.5 * (dt_ms + group_ms[len(group_ms) // 2 - 1])
 
-    pix_per_s = batch * WIDTH * HEIGHT / dt
-    print(f"step time: {dt*1e3:.1f} ms ({batch} cameras)", file=sys.stderr)
+    pix_per_s = batch * WIDTH * HEIGHT / (dt_ms * 1e-3)
+    print(
+        f"step time: median {dt_ms:.1f} ms over {repeats}x{iters} iters "
+        f"(min {group_ms[0]:.1f}, max {group_ms[-1]:.1f}; {batch} cameras)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -211,6 +226,9 @@ def main(batch: int = 1, iters: int = ITERS):
                 "value": round(pix_per_s),
                 "unit": "pixels/s",
                 "vs_baseline": round(pix_per_s / BASELINE_PIX_PER_S, 4),
+                "median_ms": round(dt_ms, 2),
+                "spread_ms": [round(group_ms[0], 2), round(group_ms[-1], 2)],
+                "groups": repeats,
             }
         )
     )
@@ -223,9 +241,11 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=1,
                     help="cameras per step (multi-camera batched train step)")
     ap.add_argument("--iters", type=int, default=ITERS,
-                    help="timed iterations (higher = less variance)")
+                    help="timed iterations per group")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timing groups; the reported number is the median group")
     cli_args = ap.parse_args()
     if cli_args.parity:
         parity_gate()
     else:
-        main(cli_args.batch, cli_args.iters)
+        main(cli_args.batch, cli_args.iters, cli_args.repeats)

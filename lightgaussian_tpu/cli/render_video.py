@@ -40,11 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--std", default=0.03, type=float)
     parser.add_argument("--n_frames", default=600, type=int)
     parser.add_argument(
-        "--rebin_every", default=4, type=int,
-        help="trajectory frames between fresh binnings (temporal reuse; 1 = "
-        "bin every frame for quality-critical export; on-chip 300k/1080p "
-        "worst reused-frame fidelity: 27.4 dB at 4, 19.9 dB at 8 — "
-        "PERF.md round 3)",
+        "--rebin_every", default=8, type=int,
+        help="UPPER BOUND on trajectory frames between fresh binnings; the "
+        "operative gate is --drift_px (measured splat drift). 1 = bin every "
+        "frame",
+    )
+    parser.add_argument(
+        "--drift_px", default=1.5, type=float,
+        help="rebin when the max screen-space drift of sampled splats since "
+        "the last keyframe exceeds this many pixels (<=1 px is covered by "
+        "the binning's +1 px tile-footprint margin); raise for faster, "
+        "staler previews",
     )
     parser.add_argument("--load_vq", action="store_true")
     parser.add_argument("--quiet", action="store_true")
@@ -83,25 +89,25 @@ def main(argv=None) -> None:
     if args.video:
         render_sets.render_trajectory(
             model.model_path, "ellipse", scene.loaded_iter, cams,
-            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every,
+            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every, drift_px=args.drift_px,
             interpret=interpret,
         )
     if args.circular:
         render_sets.render_trajectory(
             model.model_path, "circular", scene.loaded_iter, cams,
-            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every,
+            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every, drift_px=args.drift_px,
             radius=args.radius, interpret=interpret,
         )
     if args.spherify:
         render_sets.render_trajectory(
             model.model_path, "spherify", scene.loaded_iter, cams,
-            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every,
+            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every, drift_px=args.drift_px,
             interpret=interpret,
         )
     if args.spiral:
         render_sets.render_trajectory(
             model.model_path, "spiral", scene.loaded_iter, cams,
-            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every,
+            scene.gaussians, bg, max_instances, n_frames=args.n_frames, rebin_every=args.rebin_every, drift_px=args.drift_px,
             interpret=interpret,
         )
     if args.gaussians:

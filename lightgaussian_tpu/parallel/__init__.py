@@ -10,6 +10,11 @@ from lightgaussian_tpu.parallel.gauss import (
     make_gauss_train_step,
     shard_state,
 )
+from lightgaussian_tpu.parallel.gss import (
+    accumulate_gss_sharded,
+    make_accumulate_gss_sharded,
+    pad_cameras,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +27,7 @@ __all__ = [
     "shard_state",
     "gather_state",
     "stack_cameras",
+    "accumulate_gss_sharded",
+    "make_accumulate_gss_sharded",
+    "pad_cameras",
 ]

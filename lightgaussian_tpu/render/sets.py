@@ -70,6 +70,85 @@ def _make_cached_render_fn(interpret: bool):
     return fn
 
 
+def _sample_means(scene: GaussianScene, k: int = 4096) -> np.ndarray:
+    """Deterministic subset of alive Gaussian centers for host-side drift
+    estimation."""
+    means = np.asarray(scene.means)
+    idx = np.flatnonzero(np.asarray(scene.alive))
+    if idx.size == 0:
+        idx = np.arange(means.shape[0])
+    if idx.size > k:
+        idx = np.random.default_rng(0).choice(idx, size=k, replace=False)
+    return means[idx]
+
+
+def _project_np(means: np.ndarray, cam: Camera):
+    """Host-side mirror of projection.preprocess's screen mapping: world ->
+    clip (full_proj) -> NDC -> pixel centers, plus camera-space depth."""
+    fp = np.asarray(cam.full_proj)
+    wv = np.asarray(cam.world_view)
+    ph = means @ fp[:3, :3].T + fp[:3, 3]
+    pw = means @ fp[3, :3] + fp[3, 3]
+    ndc = ph[:, :2] / (pw[:, None] + 1e-7)
+    size = np.array([cam.width, cam.height], np.float64)
+    xy = ((ndc + 1.0) * size - 1.0) * 0.5
+    z = means @ wv[2, :3] + wv[2, 3]
+    return xy, z
+
+
+def plan_rebin_schedule(
+    scene: GaussianScene,
+    frames: list[Camera],
+    rebin_every: int,
+    drift_px: float,
+    sample: int = 4096,
+    margin: float = 64.0,
+) -> list[bool]:
+    """Keyframe plan for cached-binning reuse, gated on MEASURED splat drift.
+
+    Frame i rebins iff the maximum screen-space displacement (pixels) of a
+    sampled in-frustum subset of splats since the last keyframe exceeds
+    `drift_px`, or `rebin_every` frames have elapsed (upper bound). This
+    replaces the round-2/3 camera-angle/travel proxy (4.8 deg / 2%), which
+    measured the CAMERA's motion, not the splats': fine-splat scenes blew
+    through it and cost ~20-27 dB on worst reused frames (PERF.md round 3).
+    Drift <= ~1 px is harmless by construction — `tile_rect` pads every
+    splat's tile footprint by +1 px, so the stale (tile | depth) ranges still
+    cover the support and blending uses fresh features; beyond that, splats
+    start crossing tile boundaries their cached ranges don't cover.
+
+    All decisions are host-side numpy over the whole trajectory (cameras are
+    known upfront), so the gate costs zero device round-trips per frame.
+    Depth-ORDER staleness is not separately gated: reorder artifacts appear
+    at screen drifts far above the pixel gate on real trajectories.
+    """
+    means = _sample_means(scene, sample)
+    proj = [_project_np(means, c) for c in frames]
+    flags = [True]
+    key = 0
+    for i in range(1, len(frames)):
+        xy0, z0 = proj[key]
+        xy1, z1 = proj[i]
+        w, h = frames[i].width, frames[i].height
+        from lightgaussian_tpu.ops.rasterize.projection import NEAR_PLANE
+
+        vis = (
+            (z0 > NEAR_PLANE) & (z1 > NEAR_PLANE)
+            & (xy0[:, 0] > -margin) & (xy0[:, 0] < w + margin)
+            & (xy0[:, 1] > -margin) & (xy0[:, 1] < h + margin)
+        )
+        if vis.any():
+            drift = float(np.linalg.norm(xy1[vis] - xy0[vis], axis=1).max())
+        else:
+            drift = np.inf  # nothing trackable: don't trust the cache
+        if (i - key) >= rebin_every or drift > drift_px:
+            flags.append(True)
+            key = i
+        else:
+            flags.append(False)
+    return flags
+
+
 def render_trajectory(
     model_path: str | Path,
     kind: str,
@@ -81,9 +160,10 @@ def render_trajectory(
     n_frames: int = 600,
     radius: float = 0.5,
     interpret: bool = False,
-    rebin_every: int = 4,  # on-chip 300k/1080p: worst reused frame 27.4 dB
-                           # vs fresh at 4 (19.9 dB at 8) for ~5% FPS
-                           # (PERF.md round 3); 1 = fresh every frame
+    rebin_every: int = 8,  # UPPER BOUND between keyframes; the real gate is
+                           # measured splat drift (plan_rebin_schedule)
+    drift_px: float = 1.5,  # max screen drift before a rebin; <=1 px is
+                            # covered by tile_rect's +1 px footprint margin
 ) -> Path:
     """Trajectory renders (`render_video.py:93-137`): kind in
     {"ellipse", "circular", "spherical", "spherify", "spiral"}; frames into
@@ -122,29 +202,15 @@ def render_trajectory(
     # Temporal binning reuse: nearby trajectory cameras share a valid
     # (tile | depth) sort order, so keyframes bin fresh and in-between frames
     # only re-gather features (skips ~60% of binning; deltas quantified in
-    # tests/test_temporal_binning and PERF.md). Reuse is gated on ACTUAL
-    # camera motion since the keyframe — a fixed frame count corrupts coarse
-    # trajectories (36-degree spherical-path jumps, short orbits); gate is
-    # ~4.8 deg / 2% travel. Fidelity depends on splat size relative to the
-    # per-frame drift: small interpret-mode scenes stay >55 dB for 8 reused
-    # frames, but an on-chip 300k fine-splat scene at 1080p measures worst
-    # reused frames of 27.4 dB (rebin 4) / 19.9 dB (rebin 8) vs fresh
-    # (PERF.md round 3) — hence the rebin-4 default and the rebin-1 escape
-    # hatch for export. `rebin_every` is the upper bound between keyframes.
-    # The instance
-    # buffer is right-sized from the first frame's live count (the default
-    # heuristic over-allocates ~3x).
-    def cam_drift(a: Camera, b: Camera) -> tuple[float, float]:
-        ra = np.asarray(a.world_view)[:3, :3]
-        rb = np.asarray(b.world_view)[:3, :3]
-        cosang = (np.trace(ra @ rb.T) - 1.0) / 2.0
-        ang = float(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
-        ca, cb = np.asarray(a.camera_center), np.asarray(b.camera_center)
-        trans = float(np.linalg.norm(ca - cb) / (np.linalg.norm(ca) + 1e-9))
-        return ang, trans
-
-    MAX_ANGLE_DEG, MAX_TRAVEL = 4.8, 0.02
-
+    # tests/test_temporal_binning and PERF.md). Reuse is gated on MEASURED
+    # splat drift (plan_rebin_schedule): the round-2/3 camera-angle proxy let
+    # fine-splat scenes reuse binnings whose splats had moved many pixels,
+    # costing ~20-27 dB on worst reused frames. With the pixel gate, fast
+    # trajectories (e.g. the default 600-frame orbit at 1080p, ~4-14 px
+    # drift/frame) simply rebin every frame — quality-first — while slow
+    # segments keep the reuse win automatically. The instance buffer is
+    # right-sized from the first frame's live count (the default heuristic
+    # over-allocates ~3x).
     def make_bin_fn(cap):
         return jax.jit(lambda s, c: build_binning(s, c, max_instances=cap))
 
@@ -158,13 +224,10 @@ def render_trajectory(
         bin_fn = make_bin_fn(cap)
         binning = bin_fn(scene, frames[0])
 
-    key_cam, since_key = frames[0], 0
+    rebin = plan_rebin_schedule(scene, frames, rebin_every, drift_px)
     for idx, cam in enumerate(frames):
-        ang, trans = cam_drift(key_cam, cam)
-        if idx > 0 and (since_key >= rebin_every or ang > MAX_ANGLE_DEG
-                        or trans > MAX_TRAVEL):
+        if idx > 0 and rebin[idx]:
             binning = bin_fn(scene, cam)
-            key_cam, since_key = cam, 0
             total = int(binning.total)
             if total >= cap:  # trajectory drifted into denser views: grow back
                 new_cap = min(binning_mod.snug_capacity(total, headroom=1.35),
@@ -173,6 +236,5 @@ def render_trajectory(
                     cap = new_cap
                     bin_fn = make_bin_fn(cap)
                     binning = bin_fn(scene, cam)
-        since_key += 1
         save_png(cached_fn(scene, cam, bg, binning), base / f"{idx:05d}.png")
     return base

@@ -45,6 +45,23 @@ def accumulate_gss(scene: GaussianScene, cameras: Iterable[Camera], bg, max_inst
     return counts, imp
 
 
+def accumulate_gss_auto(scene: GaussianScene, cameras: Iterable[Camera], bg, max_instances: int, interpret: bool = False):
+    """`accumulate_gss`, camera-parallel over the `data` mesh axis when more
+    than one device is visible (parallel/gss.py — psum of the per-Gaussian
+    accumulators; equivalence vs the sequential loop gated in
+    tests/test_parallel.py), sequential on one chip."""
+    cameras = list(cameras)
+    if len(jax.devices()) > 1 and len(cameras) > 1:
+        from lightgaussian_tpu.parallel.gss import accumulate_gss_sharded
+        from lightgaussian_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()), space=1)
+        return accumulate_gss_sharded(
+            mesh, scene, cameras, bg, max_instances, interpret=interpret
+        )
+    return accumulate_gss(scene, cameras, bg, max_instances, interpret)
+
+
 @jax.jit
 def calculate_v_imp_score(scene: GaussianScene, imp_list: jnp.ndarray, v_pow: float):
     """(volume / 90th-largest-percentile volume)^v_pow * imp (`prune.py:112-128`),

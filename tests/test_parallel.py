@@ -111,6 +111,32 @@ def test_parallel_loss_decreases_over_steps():
     assert last < first
 
 
+@pytest.mark.parametrize("mesh_shape,n_cams", [((4, 2), 4), ((8, 1), 5), ((2, 1), 7)])
+def test_sharded_gss_matches_sequential(mesh_shape, n_cams):
+    """Camera-parallel GSS sweep (psum of per-Gaussian accumulators over
+    `data`) vs the sequential per-camera loop — the reference's prune_list
+    (`prune.py:133-157`). Counts are integer-exact; importance sums only
+    regroup f32 additions across cameras. Includes non-divisible camera
+    counts (padding cameras weighted 0)."""
+    from lightgaussian_tpu.parallel.gss import accumulate_gss_sharded
+    from lightgaussian_tpu.train.gss import accumulate_gss
+
+    data, space = mesh_shape
+    scene, cams, bg = _make_batch(n_cams)
+
+    counts_seq, imp_seq = accumulate_gss(scene, cams, bg, MAX_INST, interpret=True)
+
+    mesh = make_mesh(data=data, space=space)
+    counts_sh, imp_sh = accumulate_gss_sharded(
+        mesh, scene, cams, bg, MAX_INST, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(counts_sh), np.asarray(counts_seq))
+    np.testing.assert_allclose(
+        np.asarray(imp_sh), np.asarray(imp_seq), rtol=1e-5, atol=1e-5
+    )
+    assert int(np.asarray(counts_seq).sum()) > 0, "vacuous sweep"
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -112,3 +112,51 @@ def test_coarse_trajectory_rebins_adaptively(tmp_path):
         # coarse deltas trip the motion gate -> fresh binning -> identical
         np.testing.assert_array_equal(a, b)
 
+
+
+def test_drift_schedule_fast_trajectory_rebins_every_frame():
+    """At coarse camera steps the measured splat drift exceeds any small
+    pixel gate, so the schedule must bin fresh every frame."""
+    from lightgaussian_tpu.render.sets import plan_rebin_schedule
+
+    scene = random_scene(n=300, seed=4, extent=0.8, scale_range=(0.03, 0.09))
+    cams = [_orbit_cam(t) for t in np.linspace(0, 2 * math.pi, 8, endpoint=False)]
+    flags = plan_rebin_schedule(scene, cams, rebin_every=8, drift_px=1.5)
+    assert flags == [True] * len(cams)
+
+
+def test_drift_schedule_slow_trajectory_reuses_with_upper_bound():
+    """At very fine camera steps the drift stays under the gate, so binnings
+    are reused — but never past the rebin_every upper bound."""
+    from lightgaussian_tpu.render.sets import plan_rebin_schedule
+
+    scene = random_scene(n=300, seed=4, extent=0.8, scale_range=(0.03, 0.09))
+    step = 2 * math.pi / 40000  # ~15x finer than the default 600-frame orbit
+    cams = [_orbit_cam(0.3 + i * step) for i in range(24)]
+    flags = plan_rebin_schedule(scene, cams, rebin_every=6, drift_px=1.5)
+    assert flags[0] is True
+    assert sum(flags) < len(cams), "fine steps should allow reuse"
+    gap = 0
+    for f in flags:
+        gap = 0 if f else gap + 1
+        assert gap < 6, "rebin_every upper bound violated"
+
+
+def test_drift_gate_bounds_reused_frame_error():
+    """Frames the pixel gate allows to reuse must render near-identically to
+    fresh binning (the gate's whole point: <= drift_px is inside the binning
+    footprint margin)."""
+    from lightgaussian_tpu.render.sets import plan_rebin_schedule
+
+    scene = random_scene(n=400, seed=3, extent=0.8, scale_range=(0.02, 0.08))
+    step = 2 * math.pi / 40000
+    cams = [_orbit_cam(0.3 + i * step) for i in range(10)]
+    flags = plan_rebin_schedule(scene, cams, rebin_every=100, drift_px=1.5)
+    reused = [i for i, f in enumerate(flags) if not f]
+    assert reused, "expected at least one reused frame at this step size"
+    b = build_binning(scene, cams[0], max_instances=MAXI)
+    for i in reused:
+        fresh = render(scene, cams[i], BG, max_instances=MAXI, interpret=True).render
+        cached = render(scene, cams[i], BG, cached_binning=b, interpret=True).render
+        psnr = float(losses.psnr(jnp.clip(cached, 0, 1), jnp.clip(fresh, 0, 1)))
+        assert psnr > 45.0, f"reused frame {i} only {psnr:.1f} dB vs fresh"
