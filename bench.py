@@ -115,6 +115,14 @@ def parity_gate() -> None:
         assert float(np.abs(np.asarray(g_ref[0][k])).max()) > 0, f"vacuous grad {k}"
     check("grad[mean2d_offset]", g_tile[1], g_ref[1], 2e-4, normalize=True)
 
+    # --- render-only fast kernel vs exact forward ---------------------------
+    # Compiled check of the inference path: diverges only on early-stopped
+    # pixels (bound T_EPS/(1-MAX_ALPHA) = 1e-2; measured ~4e-4 — see
+    # pallas_blend._fast_kernel).
+    out_fast = jax.jit(lambda: render(scene, camera, bg, method="tiled", fast=True))()
+    check("fast-kernel image", out_fast.render, out_tile.render, 2e-3)
+    check("fast-kernel final T", out_fast.final_T, out_tile.final_T, 2e-3)
+
     # --- counting outputs (GSS accumulators) --------------------------------
     c_ref = jax.jit(lambda: count_render(scene, camera, bg, method="reference"))()
     c_tile = jax.jit(lambda: count_render(scene, camera, bg, method="tiled"))()

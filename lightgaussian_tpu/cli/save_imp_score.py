@@ -76,7 +76,8 @@ def main(argv=None) -> None:
         from lightgaussian_tpu.ops.rasterize import render
 
         fn = jax.jit(
-            lambda s, c, b: render(s, c, b, max_instances=max_instances, interpret=interpret).render
+            lambda s, c, b: render(s, c, b, max_instances=max_instances,
+                                   interpret=interpret, fast=True).render
         )
         jax.block_until_ready(fn(state.scene, cams[0], bg))  # compile
         t0 = time.perf_counter()

@@ -238,6 +238,113 @@ def _fwd_kernel(
     t_out[0] = t_act
 
 
+def _fast_kernel(
+    starts_ref,
+    inst_hbm,
+    rgb_out,
+    t_out,
+    buf,
+    sems,
+    *,
+    tiles_x: int,
+    width: int,
+    height: int,
+):
+    """Render-only forward: `_fwd_kernel` minus the masked-min `t_act`
+    reduction (a sublane min-reduce + where + mul per chunk, ~20% of forward
+    VPU passes — scripts/roofline.py). The background weight uses the naive
+    transmittance product instead of the applied-contributions product; they
+    diverge only once a pixel passes the early-stop threshold, where both are
+    <= T_EPS / (1 - MAX_ALPHA) = 1e-2 (worst case; measured max image delta
+    ~4e-4 on dense scenes, below PNG quantization 1/255) — gated in
+    tests/test_rasterizer.py. For inference paths only (render_set /
+    trajectories / FPS benches); training and the parity oracle keep the
+    exact kernel."""
+    t = pl.program_id(0)
+    chunk_base, nchunks, start, end = _range_info(starts_ref, t)
+    lx, ly, ox, oy, pix_valid = _pix_valid(t, tiles_x, width, height)
+    get_dma = _make_chunk_dma(inst_hbm, buf, sems)
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, chunk_base).start()
+
+    def body(state):
+        k, t_naive, rgb = state
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, chunk_base + k + 1).start()
+
+        get_dma(slot, chunk_base + k).wait()
+        f = buf[slot].T
+        alpha, _ = _chunk_alpha(
+            f, lx, ly, ox, oy, pix_valid, _row_valid(chunk_base, k, start, end)
+        )
+        om = 1.0 - alpha
+        incl = _inclusive_scan_mul(om)
+        t_i = t_naive * _shift_down(incl, 1, 1.0)
+        apply = (t_i * om) >= T_EPS
+        w = jnp.where(apply, alpha * t_i, 0.0)
+        col = f[:, FEAT_R:FEAT_B + 1]
+        rgb = rgb + jax.lax.dot_general(
+            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_HI
+        )
+        t_naive = t_naive * incl[BLEND_CHUNK - 1:BLEND_CHUNK]
+        return k + 1, t_naive, rgb
+
+    def cond(state):
+        k, t_naive, _ = state
+        return (k < nchunks) & (jnp.max(t_naive) >= T_EPS)
+
+    init = (
+        jnp.int32(0),
+        jnp.where(pix_valid, 1.0, 0.0),
+        jnp.zeros((3, PIX), jnp.float32),
+    )
+    k_end, t_naive, rgb = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(k_end < nchunks)
+    def _():
+        get_dma(k_end % 2, chunk_base + k_end).wait()
+
+    rgb_out[0] = rgb
+    # Out-of-image lanes were seeded 0 for the early exit; restore 1 so the
+    # padded-region background weight matches the exact kernel's convention.
+    t_out[0] = jnp.where(pix_valid, t_naive, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "interpret"))
+def blend_forward_fast(tile_starts, inst_chunks, grid: TileGrid, interpret: bool = False):
+    """Render-only forward (see `_fast_kernel`). Returns
+    (tile_rgb [T, 3, PIX], tile_T_naive [T, 1, PIX])."""
+    kernel = functools.partial(
+        _fast_kernel, tiles_x=grid.tiles_x, width=grid.width, height=grid.height
+    )
+    grid_spec = _common_grid_spec(
+        grid,
+        [],
+        (
+            pl.BlockSpec((1, 3, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        [
+            pltpu.VMEM((2, FEAT_WIDTH, BLEND_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((grid.num_tiles, 3, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((grid.num_tiles, 1, PIX), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tile_starts, inst_chunks)
+
+
 def _is_shared(k, nchunks, start, end):
     """Chunk k already holds a PREVIOUS tile's rows -> accumulate, don't store.
 

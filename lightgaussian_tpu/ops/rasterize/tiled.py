@@ -142,16 +142,41 @@ def blend_tiled_cached(
     height: int,
     cached: "binning_mod.Binning",
     interpret: bool = False,
+    fast: bool = False,
 ):
     """Forward-only blend reusing a cached Binning's (tile | depth) order:
     features are re-gathered from the NEW splats (one row-gather), the sorts /
     rects / searchsorted are skipped. For trajectory rendering where the
     camera moves a little per frame; image deltas vs fresh binning are
     quantified in tests/test_temporal_binning.py and PERF.md. NOT
-    differentiable (no VJP residuals for the new splats)."""
+    differentiable (no VJP residuals for the new splats). `fast` uses the
+    render-only kernel (naive-T background weight; measured image delta
+    ~4e-4, worst case 1e-2 on saturated pixels — see _fast_kernel)."""
     grid = make_grid(width, height)
     b = binning_mod.rebind_features(splats, cached)
-    tile_rgb, tile_t = pk.blend_forward(b.tile_starts, b.inst_chunks, grid, interpret)
+    fwd = pk.blend_forward_fast if fast else pk.blend_forward
+    tile_rgb, tile_t = fwd(b.tile_starts, b.inst_chunks, grid, interpret)
+    img_pad = _assemble_image(tile_rgb, grid)
+    t_pad = _assemble_image(tile_t, grid)[0]
+    image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]
+    return image, t_pad[:height, :width], b.total
+
+
+def blend_tiled_fast(
+    splats: Splats,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    max_instances: int,
+    interpret: bool = False,
+):
+    """Render-only fresh-binning blend: the inference fast path. Runs the
+    `_fast_kernel` (no applied-T reduction; measured image delta ~4e-4,
+    worst case 1e-2 on saturated pixels, vs the exact forward) and, being outside the custom VJP, lets XLA DCE the
+    backward-only binning products (pre_pos second sort, gauss_cum)."""
+    grid = make_grid(width, height)
+    b = binning_mod.bin_splats(splats, grid, max_instances)
+    tile_rgb, tile_t = pk.blend_forward_fast(b.tile_starts, b.inst_chunks, grid, interpret)
     img_pad = _assemble_image(tile_rgb, grid)
     t_pad = _assemble_image(tile_t, grid)[0]
     image = img_pad[:, :height, :width] + t_pad[None, :height, :width] * bg[:, None, None]

@@ -33,7 +33,9 @@ def save_png(img, path: str | Path) -> None:
 def _make_render_fn(max_instances: int, interpret: bool):
     @jax.jit
     def fn(scene: GaussianScene, camera: Camera, bg: jnp.ndarray):
-        return render(scene, camera, bg, max_instances=max_instances, interpret=interpret).render
+        # render-only fast kernel: |delta| <= T_EPS, below PNG quantization
+        return render(scene, camera, bg, max_instances=max_instances,
+                      interpret=interpret, fast=True).render
 
     return fn
 
@@ -65,7 +67,7 @@ def _make_cached_render_fn(interpret: bool):
     @jax.jit
     def fn(scene: GaussianScene, camera: Camera, bg: jnp.ndarray, binning):
         return render(scene, camera, bg, cached_binning=binning,
-                      interpret=interpret).render
+                      interpret=interpret, fast=True).render
 
     return fn
 
@@ -225,7 +227,18 @@ def render_trajectory(
         binning = bin_fn(scene, frames[0])
 
     rebin = plan_rebin_schedule(scene, frames, rebin_every, drift_px)
+    # A keyframe whose binning is never reused (the next frame rebins too —
+    # e.g. every frame of a fast trajectory) renders through the FUSED fresh
+    # path: one jit call instead of bin_fn + cached blend, which avoids an
+    # HBM round trip of the binning buffers (~20% faster when the gate
+    # degenerates to rebin-1; measured scripts/bench_render_fps.py).
+    n = len(frames)
+    reused = [idx + 1 < n and not rebin[idx + 1] for idx in range(n)]
+    fresh_fn = _make_render_fn(cap, interpret)
     for idx, cam in enumerate(frames):
+        if rebin[idx] and not reused[idx]:
+            save_png(fresh_fn(scene, cam, bg), base / f"{idx:05d}.png")
+            continue
         if idx > 0 and rebin[idx]:
             binning = bin_fn(scene, cam)
             total = int(binning.total)
@@ -235,6 +248,7 @@ def render_trajectory(
                 if new_cap != cap:
                     cap = new_cap
                     bin_fn = make_bin_fn(cap)
+                    fresh_fn = _make_render_fn(cap, interpret)
                     binning = bin_fn(scene, cam)
         save_png(cached_fn(scene, cam, bg, binning), base / f"{idx:05d}.png")
     return base

@@ -224,7 +224,7 @@ def train(
 
             return _render(
                 state.scene, cam, bg, scale_modifier=scale_mod,
-                max_instances=max_instances, interpret=interpret,
+                max_instances=max_instances, interpret=interpret, fast=True,
             ).render
 
     for iteration in range(first_iter + 1, opt.iterations + 1):

@@ -204,3 +204,15 @@ def test_gauss_sharded_loss_decreases():
             first = float(m.loss)
         last = float(m.loss)
     assert last < first
+
+
+def test_accumulate_gss_auto_dispatch_matches_sequential():
+    """`accumulate_gss_auto` must route to the sharded sweep on a multi-device
+    backend and agree with the sequential loop (counts exactly)."""
+    from lightgaussian_tpu.train.gss import accumulate_gss, accumulate_gss_auto
+
+    scene, cams, bg = _make_batch(5)
+    c_seq, i_seq = accumulate_gss(scene, cams, bg, MAX_INST, interpret=True)
+    c_auto, i_auto = accumulate_gss_auto(scene, cams, bg, MAX_INST, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c_auto), np.asarray(c_seq))
+    np.testing.assert_allclose(np.asarray(i_auto), np.asarray(i_seq), rtol=1e-5, atol=1e-5)

@@ -240,3 +240,28 @@ def test_unchunk_transpose_matches_xla(rng):
     for k in (8, 16):
         got = np.asarray(pk.unchunk_transpose(x, chunks_per_block=k, interpret=True))
         np.testing.assert_array_equal(got, np.asarray(_unchunk(x)))
+
+
+def test_fast_render_matches_exact_within_teps():
+    """The render-only fast kernel (no applied-T reduction) must match the
+    exact forward on image and final_T up to the saturated-pixel bound
+    (T_EPS / (1 - MAX_ALPHA) = 1e-2 worst case; measured ~4e-4), on a scene
+    dense enough to trigger transmittance saturation + early exit."""
+    from lightgaussian_tpu.ops.rasterize import render
+    from lightgaussian_tpu.utils.synthetic import default_camera, random_scene
+
+    scene = random_scene(n=2048, seed=1, extent=1.2, scale_range=(0.01, 0.06))
+    camera = default_camera(width=192, height=128)
+    bg = jnp.array([0.3, 0.5, 0.7], jnp.float32)
+    exact = render(scene, camera, bg, max_instances=1 << 15, interpret=True)
+    fast = render(scene, camera, bg, max_instances=1 << 15, interpret=True, fast=True)
+    d_img = float(jnp.abs(fast.render - exact.render).max())
+    d_t = float(jnp.abs(fast.final_T - exact.final_T).max())
+    assert d_img <= 2e-3, d_img
+    assert d_t <= 2e-3, d_t
+    # and the cached-path fast variant agrees with itself bit-wise
+    from lightgaussian_tpu.ops.rasterize import build_binning as api_bin
+
+    b = api_bin(scene, camera, max_instances=1 << 15)
+    cached = render(scene, camera, bg, cached_binning=b, interpret=True, fast=True)
+    np.testing.assert_array_equal(np.asarray(cached.render), np.asarray(fast.render))
