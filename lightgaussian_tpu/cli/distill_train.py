@@ -176,7 +176,7 @@ def main(argv=None) -> None:
     drain()
     timer.pause()
     # final imp_score export (distill_train.py:174-183)
-    _, imp = gss.accumulate_gss(state.scene, cams, bg, max_instances, interpret)
+    _, imp = gss.accumulate_gss_auto(state.scene, cams, bg, max_instances, interpret)
     v_imp = gss.calculate_v_imp_score(state.scene, imp, args.v_pow)
     loop.save_imp_score(Path(out) / "imp_score.npz", state.scene, np.asarray(v_imp))
     logger.close()

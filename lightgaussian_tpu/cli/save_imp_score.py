@@ -57,7 +57,7 @@ def main(argv=None) -> None:
     cams = scene.getTrainCameras()
     max_instances = default_max_instances(state.scene, cams[0])
 
-    _, imp = gss.accumulate_gss(state.scene, cams, bg, max_instances, interpret)
+    _, imp = gss.accumulate_gss_auto(state.scene, cams, bg, max_instances, interpret)
     v_imp = gss.calculate_v_imp_score(state.scene, imp, args.v_pow)
     out = Path(model.model_path) / "imp_score.npz"
     loop.save_imp_score(out, state.scene, np.asarray(v_imp))

@@ -14,6 +14,7 @@ tests/test_parallel.py.
 """
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Sequence
 
 import jax
@@ -39,6 +40,7 @@ def pad_cameras(cams: Sequence[Camera], multiple: int):
     return stack_cameras(padded), w
 
 
+@functools.lru_cache(maxsize=None)
 def make_accumulate_gss_sharded(
     mesh,
     max_instances: int,
@@ -47,11 +49,14 @@ def make_accumulate_gss_sharded(
     axis: str = DATA_AXIS,
 ):
     """Build the jitted sharded sweep: (scene, camera_batch, weights, bg) ->
-    (counts [CAP] int32, imp [CAP] f32), summed over every weight-1 camera.
+    (counts [CAP] int, imp [CAP] f32), summed over every weight-1 camera.
 
     `camera_batch`/`weights` have leading dim mesh.shape[axis] * cams_per_shard
-    (use `pad_cameras`). Compiled once per (mesh, shapes); the factory is cheap
-    so callers may rebuild it per sweep.
+    (use `pad_cameras`). The factory is lru_cached on its (hashable) arguments
+    so repeated sweeps reuse one jit object — a fresh jit closure per call
+    would retrace (and on remote-compile setups recompile) the counting
+    renderer on every GSS prune, the exact cost `train/gss._count_one`
+    caches against on the sequential path.
     """
 
     def shard_sweep(scene: GaussianScene, cams: Camera, w, bg):
@@ -66,7 +71,10 @@ def make_accumulate_gss_sharded(
             imp = imp + jnp.where(live, out.important_score, 0.0)
             return counts, imp
 
-        counts0 = jnp.zeros((scene.capacity,), jnp.int32)
+        # dtype matches the sequential accumulate_gss so auto-dispatch is
+        # transparent (int64 under x64, else int32)
+        cdtype = jnp.int64 if jax.config.x64_enabled else jnp.int32
+        counts0 = jnp.zeros((scene.capacity,), cdtype)
         imp0 = jnp.zeros((scene.capacity,), jnp.float32)
         counts, imp = jax.lax.fori_loop(0, cams_per_shard, body, (counts0, imp0))
         return (

@@ -17,6 +17,7 @@ from lightgaussian_tpu.models.camera import Camera
 from lightgaussian_tpu.models.gaussians import GaussianScene
 from lightgaussian_tpu.ops.rasterize import binning as binning_mod
 from lightgaussian_tpu.ops.rasterize import build_binning, render
+from lightgaussian_tpu.ops.rasterize.projection import NEAR_PLANE
 from lightgaussian_tpu.render import poses as pose_gen
 
 
@@ -132,8 +133,6 @@ def plan_rebin_schedule(
         xy0, z0 = proj[key]
         xy1, z1 = proj[i]
         w, h = frames[i].width, frames[i].height
-        from lightgaussian_tpu.ops.rasterize.projection import NEAR_PLANE
-
         vis = (
             (z0 > NEAR_PLANE) & (z1 > NEAR_PLANE)
             & (xy0[:, 0] > -margin) & (xy0[:, 0] < w + margin)
@@ -234,21 +233,40 @@ def render_trajectory(
     # degenerates to rebin-1; measured scripts/bench_render_fps.py).
     n = len(frames)
     reused = [idx + 1 < n and not rebin[idx + 1] for idx in range(n)]
-    fresh_fn = _make_render_fn(cap, interpret)
+
+    def make_fresh_fn(c):
+        # returns (image, total) so the fused path keeps the overflow check
+        @jax.jit
+        def fn(scene, cam, bg):
+            out = render(scene, cam, bg, max_instances=c,
+                         interpret=interpret, fast=True)
+            return out.render, out.num_instances
+
+        return fn
+
+    def grow(total, cam, want_binning):
+        nonlocal cap, bin_fn, fresh_fn
+        new_cap = min(binning_mod.snug_capacity(total, headroom=1.35),
+                      max_instances)
+        if new_cap != cap:
+            cap = new_cap
+            bin_fn = make_bin_fn(cap)
+            fresh_fn = make_fresh_fn(cap)
+        return bin_fn(scene, cam) if want_binning else None
+
+    fresh_fn = make_fresh_fn(cap)
     for idx, cam in enumerate(frames):
         if rebin[idx] and not reused[idx]:
-            save_png(fresh_fn(scene, cam, bg), base / f"{idx:05d}.png")
+            img, total = fresh_fn(scene, cam, bg)
+            if int(total) >= cap:  # denser view: grow capacity, re-render
+                grow(int(total), cam, want_binning=False)
+                img, total = fresh_fn(scene, cam, bg)
+            save_png(img, base / f"{idx:05d}.png")
             continue
         if idx > 0 and rebin[idx]:
             binning = bin_fn(scene, cam)
             total = int(binning.total)
             if total >= cap:  # trajectory drifted into denser views: grow back
-                new_cap = min(binning_mod.snug_capacity(total, headroom=1.35),
-                              max_instances)
-                if new_cap != cap:
-                    cap = new_cap
-                    bin_fn = make_bin_fn(cap)
-                    fresh_fn = _make_render_fn(cap, interpret)
-                    binning = bin_fn(scene, cam)
+                binning = grow(total, cam, want_binning=True) or binning
         save_png(cached_fn(scene, cam, bg, binning), base / f"{idx:05d}.png")
     return base

@@ -81,7 +81,7 @@ def gss_prune(
 ) -> tuple[TrainState, np.ndarray]:
     """One GSS pruning pass: accumulate scores over ALL train cameras, rank by
     `prune_type` (`prune_finetune.py:213-270`), drop the bottom `percent`."""
-    counts, imp = gss.accumulate_gss(state.scene, cameras, bg, max_instances, interpret)
+    counts, imp = gss.accumulate_gss_auto(state.scene, cameras, bg, max_instances, interpret)
     v_imp = gss.calculate_v_imp_score(state.scene, imp, v_pow)
     scores = {
         "important_score": imp,
@@ -368,7 +368,7 @@ def train(
                 model_path / f"chkpnt{iteration}.npz", state, iteration, scene.cameras_extent
             )
             if iteration == max(cfg.checkpoint_iterations):
-                _, imp = gss.accumulate_gss(state.scene, cams, bg, max_instances, interpret)
+                _, imp = gss.accumulate_gss_auto(state.scene, cams, bg, max_instances, interpret)
                 v_imp = gss.calculate_v_imp_score(state.scene, imp, cfg.v_pow)
                 save_imp_score(model_path / "imp_score.npz", state.scene, np.asarray(v_imp))
 

@@ -177,7 +177,7 @@ def main():
     measure_hbm(b)
 
     print("\n== step pieces at bench shapes (CAP snug 983k) ==")
-    timeit("preprocess", lambda: preprocess(scene, camera))
+    timeit("preprocess", jax.jit(lambda: preprocess(scene, camera)))
     timeit("binning", bin_f, splats)
     timeit("blend_forward kernel",
            lambda: pk.blend_forward(b.tile_starts, b.inst_chunks, grid, False))
