@@ -160,3 +160,55 @@ def test_drift_gate_bounds_reused_frame_error():
         cached = render(scene, cams[i], BG, cached_binning=b, interpret=True).render
         psnr = float(losses.psnr(jnp.clip(cached, 0, 1), jnp.clip(fresh, 0, 1)))
         assert psnr > 45.0, f"reused frame {i} only {psnr:.1f} dB vs fresh"
+
+
+def test_trajectory_grows_capacity_on_denser_views(tmp_path, monkeypatch):
+    """Regression (r4 review): the fused-fresh keyframe path must keep the
+    capacity-overflow growth check. The instance buffer snugs from frame 0;
+    when the trajectory swings into a denser view the path must grow it back
+    (re-render) instead of silently truncating the deepest splats."""
+    from PIL import Image
+
+    from lightgaussian_tpu.render import sets as render_sets
+    from lightgaussian_tpu.render.poses import circular_pose
+    from lightgaussian_tpu.ops.rasterize import render as api_render
+
+    scene = random_scene(n=400, seed=5, extent=0.8, scale_range=(0.03, 0.09))
+    # the circular kind orbits around cams[min(13, len-1)] at `radius`; a
+    # radius comparable to the view distance swings between sparse (far)
+    # and dense (near) views
+    ref = _orbit_cam(2.1, dist=3.5)  # phase chosen so frame 0 is SPARSE
+    cams = [ref]
+    n_frames, radius = 6, 1.9
+    frames = [circular_pose(ref, radius, 2.0 * np.pi * i / n_frames)
+              for i in range(n_frames)]
+    totals = [int(api_render(scene, c, BG, max_instances=MAXI,
+                             interpret=True).num_instances) for c in frames]
+
+    # tiny test scenes sit under snug_capacity's 16k floor, where growth can
+    # never trigger; tighten the floor/quantum so the snugged buffer really
+    # is ~1.35x frame-0's live count and denser frames overflow it
+    from lightgaussian_tpu.ops.rasterize import binning as binning_mod
+
+    real_snug = binning_mod.snug_capacity
+    monkeypatch.setattr(
+        render_sets.binning_mod, "snug_capacity",
+        lambda live, headroom=1.4: real_snug(
+            live, headroom, quantum_small=128, floor=128),
+    )
+    cap0 = real_snug(totals[0], 1.35, quantum_small=128, floor=128)
+    assert max(totals) > cap0, f"fixture never exceeds snug cap: {totals}"
+
+    out = render_sets.render_trajectory(
+        tmp_path / "grow", "circular", 1, cams, scene, BG, MAXI,
+        n_frames=n_frames, radius=radius, interpret=True, rebin_every=1,
+    )
+    for i, (png, cam) in enumerate(zip(sorted(out.glob("*.png")), frames)):
+        got = np.asarray(Image.open(png), np.float32) / 255.0
+        want = np.asarray(jnp.clip(api_render(
+            scene, cam, BG, max_instances=MAXI, interpret=True, fast=True
+        ).render, 0, 1)).transpose(1, 2, 0)
+        np.testing.assert_allclose(
+            got, want, atol=1.0 / 255.0 + 1e-6,
+            err_msg=f"frame {i} (total {totals[i]}) truncated or stale",
+        )
