@@ -282,8 +282,10 @@ def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int =
     # row-gather + a shifted difference replaces two gathers — row gathers
     # are the latency-bound cost here (~8 ns/row), and this halves them.
     # Bit-identical to cs0[hi] - cs0[lo]: the same gathered values are
-    # subtracted either way.
-    ch = cs0[hi]
+    # subtracted either way. hi is a non-decreasing clamped cumsum with
+    # values in [0, m], so sortedness and boundedness are promised to the
+    # gather lowering.
+    ch = cs0.at[hi].get(indices_are_sorted=True, mode="promise_in_bounds")
     return ch - jnp.concatenate([jnp.zeros((1, f), values.dtype), ch[:-1]])
 
 

@@ -102,7 +102,12 @@ def _get_blend_fn(width: int, height: int, max_instances: int, interpret: bool):
         inst_grads = jnp.concatenate(
             [inst_grads, jnp.zeros((1, inst_grads.shape[1]), inst_grads.dtype)]
         )
-        pre_grads = inst_grads[b.pre_pos]
+        # pre_pos is a permutation of [0, CAP) by construction (second sort
+        # in bin_splats), so the bounds check and duplicate handling can be
+        # skipped in the gather lowering.
+        pre_grads = inst_grads.at[b.pre_pos].get(
+            unique_indices=True, mode="promise_in_bounds"
+        )
         per_gauss = binning_mod.segment_reduce_pre(pre_grads, b.gauss_cum)
 
         d_splats = Splats(
