@@ -118,6 +118,23 @@ def add_debug_nans_flag(parser: argparse.ArgumentParser) -> None:
     )
 
 
+def add_cache_gt_ssim_flag(parser: argparse.ArgumentParser) -> None:
+    """Tri-state control of the per-camera GT SSIM moment cache
+    (`train/loop.py:_attach_gt_ssim_stats`; default auto = on within the
+    4 GiB budget)."""
+    g = parser.add_mutually_exclusive_group()
+    g.add_argument(
+        "--cache_gt_ssim", dest="cache_gt_ssim", action="store_true",
+        default=None,
+        help="force-enable the per-camera GT SSIM moment cache (+3%% step "
+             "throughput, ~12 MB/camera at 1080p; default: auto by memory)",
+    )
+    g.add_argument(
+        "--no_cache_gt_ssim", dest="cache_gt_ssim", action="store_false",
+        help="disable the GT SSIM moment cache",
+    )
+
+
 def apply_debug_flags(args: argparse.Namespace) -> None:
     if getattr(args, "debug_nans", False):
         import jax

@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--interpret", action="store_true", default=None)
     common.add_debug_nans_flag(parser)
+    common.add_cache_gt_ssim_flag(parser)
     return parser
 
 
@@ -103,7 +104,7 @@ def main(argv=None) -> None:
         scene, cfg, bg, state=state, first_iter=first_iter,
         densify=False, lr_mult_fn=lr_mult, sh_degree_interval=None,
         interpret=interpret, logger=logger, seed=args.seed,
-        prune_type=args.prune_type,
+        prune_type=args.prune_type, cache_gt_ssim=args.cache_gt_ssim,
     )
     logger.close()
     print("\nPrune + finetune complete.")

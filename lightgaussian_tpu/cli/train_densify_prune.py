@@ -45,6 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="cameras per optimizer step (1 = reference-faithful; "
                              ">1 = one Adam update on the mean-over-cameras loss)")
     common.add_debug_nans_flag(parser)
+    common.add_cache_gt_ssim_flag(parser)
     return parser
 
 
@@ -107,7 +108,7 @@ def main(argv=None) -> None:
         scene, cfg, bg, state=state, first_iter=first_iter, callbacks=callbacks,
         densify=True, interpret=interpret, logger=logger, seed=args.seed,
         gui=gui, gui_source_path=str(model.source_path),
-        camera_batch=args.camera_batch,
+        camera_batch=args.camera_batch, cache_gt_ssim=args.cache_gt_ssim,
     )
     if gui is not None:
         gui.close()

@@ -191,6 +191,95 @@ def _blur5_pallas_raw(img1, img2, window_size: int, sigma: float, interpret: boo
     return out[:, :h, :]
 
 
+def _blur3_kernel(xy_hbm, out_block, buf, der, acc, sem, *, taps, hb, halo, w):
+    """One channel pair (x_c, y_c) -> the three x-side blurred SSIM moment
+    planes B(x), B(x^2), B(x*y). The target-only planes B(y), B(y^2) are
+    per-camera constants in training and are precomputed once
+    (`precompute_ssim_target_stats`), so recomputing them every step is pure
+    waste — this kernel is `_blur5_kernel` minus those two planes (-40% of
+    the moment blur's derive/accumulate work and output traffic)."""
+    c, h = pl.program_id(0), pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xy_hbm.at[pl.ds(c * 2, 2), pl.ds(h * hb, halo), :], buf, sem
+    )
+    cp.start()
+    cp.wait()
+    der[0] = buf[0]
+    der[1] = buf[0] * buf[0]
+    der[2] = buf[0] * buf[1]
+    acc[...] = taps[0] * der[:, 0:hb, :]
+    for k in range(1, len(taps)):
+        acc[...] = acc[...] + taps[k] * der[:, k:k + hb, :]
+    out_block[...] = taps[0] * acc[:, :, 0:w]
+    for k in range(1, len(taps)):
+        out_block[...] = out_block[...] + taps[k] * acc[:, :, k:k + w]
+
+
+def _blur3_pallas_raw(img1, img2, window_size: int, sigma: float, interpret: bool):
+    """[C, H, W] x2 -> [C*3, H, W] x-side moment planes (channel-major:
+    plane k of channel c lands at index c*3 + k)."""
+    taps = _gaussian_taps(window_size, sigma)
+    r = window_size // 2
+    c, h, w = img1.shape
+    hb = min(32, ((h + 7) // 8) * 8)
+    nh = -(-h // hb)
+    halo = ((hb + 2 * r + 7) // 8) * 8
+    wp = ((w + 2 * r + 127) // 128) * 128
+    xy = jnp.concatenate([img1[:, None], img2[:, None]], axis=1).reshape(2 * c, h, w)
+    xyp = jnp.pad(
+        xy, ((0, 0), (r, (halo - hb - r) + nh * hb - h), (r, wp - w - r))
+    )
+    kernel = functools.partial(_blur3_kernel, taps=taps, hb=hb, halo=halo, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, nh),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (3, hb, w), lambda ci, hi: (ci, hi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c * 3, nh * hb, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, halo, wp), jnp.float32),
+            pltpu.VMEM((3, halo, wp), jnp.float32),
+            pltpu.VMEM((3, hb, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xyp)
+    return out[:, :h, :]
+
+
+@functools.lru_cache(maxsize=8)
+def _ssim_moments_fused_xside(window_size: int, sigma: float, interpret: bool):
+    """Fused x-side SSIM moment blur (cached-target path) with hand VJP.
+
+    Forward: one Pallas pass from (x, y) to the three planes B(x), B(x^2),
+    B(x*y) per channel. Backward blurs only the THREE cotangent planes (the
+    full-moment VJP blurs five): dx = B(g0) + 2x*B(g1) + y*B(g2), and the
+    partial through the x*y plane gives dy = x*B(g2) (callers pass a
+    stop_gradient'd target, so the missing dy paths through the PRECOMPUTED
+    B(y), B(y^2) stats are intentionally absent)."""
+
+    @jax.custom_vjp
+    def moments(x, y):
+        return _blur3_pallas_raw(x, y, window_size, sigma, interpret)
+
+    def fwd(x, y):
+        return moments(x, y), (x, y)
+
+    def bwd(res, g):
+        x, y = res
+        c = x.shape[0]
+        gb = _blur_pallas_raw(g, window_size, sigma, interpret)
+        gb = gb.reshape(c, 3, *x.shape[1:])
+        dx = gb[:, 0] + 2.0 * x * gb[:, 1] + y * gb[:, 2]
+        dy = x * gb[:, 2]
+        return dx, dy
+
+    moments.defvjp(fwd, bwd)
+    return moments
+
+
 @functools.lru_cache(maxsize=8)
 def _ssim_moments_fused(window_size: int, sigma: float, interpret: bool):
     """Fused SSIM moment blur with a hand-written VJP.
@@ -252,10 +341,49 @@ def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarr
     return _blur_jnp(x, window_size, sigma)
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    """Mean SSIM over a [C, H, W] image pair (`loss_utils.py:26-85`)."""
+def precompute_ssim_target_stats(
+    target: jnp.ndarray, window_size: int = 11, sigma: float = 1.5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-camera constant SSIM moments of a fixed target image.
+
+    Returns (B(y), B(y^2)) for a [C, H, W] target. In the training loop the
+    ground-truth image never changes, so these two of the five moment planes
+    are hoisted out of the per-step loss: `ssim(pred, gt, target_stats=...)`
+    then blurs only the three prediction-side planes forward and three
+    cotangent planes backward. Storage: 2 extra [C, H, W] f32 planes per
+    cached camera (~12.4 MB at 3x1080p)."""
+    stacked = jnp.concatenate([target, target * target], axis=0)
+    blurred = _separable_blur(stacked, window_size, sigma)
+    c = target.shape[0]
+    return blurred[:c], blurred[c:]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    target_stats: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> jnp.ndarray:
+    """Mean SSIM over a [C, H, W] image pair (`loss_utils.py:26-85`).
+
+    `target_stats`: optional precomputed (B(img2), B(img2^2)) from
+    `precompute_ssim_target_stats` — skips re-blurring the constant target
+    every call. Gradients flow to img1 only on that path (img2 is treated as
+    a constant, as in training)."""
     c = img1.shape[0]
-    if jax.default_backend() in ("tpu", "axon"):
+    if target_stats is not None:
+        img2 = jax.lax.stop_gradient(img2)
+        mu2, s22 = target_stats
+        if jax.default_backend() in ("tpu", "axon"):
+            b = _ssim_moments_fused_xside(window_size, float(sigma), False)(img1, img2)
+            b = b.reshape(c, 3, *img1.shape[1:])
+            mu1, s11, s12 = b[:, 0], b[:, 1], b[:, 2]
+        else:
+            stacked = jnp.concatenate([img1, img1 * img1, img1 * img2], axis=0)
+            blurred = _separable_blur(stacked, window_size, sigma)
+            mu1, s11, s12 = (blurred[i * c:(i + 1) * c] for i in range(3))
+    elif jax.default_backend() in ("tpu", "axon"):
         b = _ssim_moments_fused(window_size, float(sigma), False)(img1, img2)
         b = b.reshape(c, 5, *img1.shape[1:])
         mu1, mu2, s11, s22, s12 = b[:, 0], b[:, 1], b[:, 2], b[:, 3], b[:, 4]
@@ -279,9 +407,15 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: flo
     return ssim_map.mean()
 
 
-def gs_loss(pred: jnp.ndarray, target: jnp.ndarray, lambda_dssim: float = 0.2) -> jnp.ndarray:
+def gs_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    lambda_dssim: float = 0.2,
+    target_stats: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> jnp.ndarray:
     """The 3D-GS training loss: (1-l)*L1 + l*(1 - SSIM)
-    (`train_densify_prune.py:135-138`)."""
+    (`train_densify_prune.py:135-138`). `target_stats` (optional) are the
+    precomputed SSIM moments of the constant ground-truth image."""
     return (1.0 - lambda_dssim) * l1_loss(pred, target) + lambda_dssim * (
-        1.0 - ssim(pred, target)
+        1.0 - ssim(pred, target, target_stats=target_stats)
     )

@@ -289,6 +289,79 @@ def segment_reduce_pre(values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int =
     return ch - jnp.concatenate([jnp.zeros((1, f), values.dtype), ch[:-1]])
 
 
+def _lane_shift_down(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """x[:, j] <- x[:, j - s] along the last (lane) axis, left fill 0."""
+    fill = jnp.zeros(x.shape[:-1] + (s,), x.dtype)
+    return jnp.concatenate([fill, x[..., : x.shape[-1] - s]], axis=-1)
+
+
+def segment_reduce_pre_folded(
+    values: jnp.ndarray, gauss_cum: jnp.ndarray, block: int = 2048
+) -> jnp.ndarray:
+    """`segment_reduce_pre` with the cumsum LANE-FOLDED — MEASURED LOSER,
+    kept as the round-4 A/B artifact (do not wire into the hot path without
+    new evidence): isolated on-chip A/B at CAP 983k shows reduce-only
+    3.42 -> 8.29 ms and the full gather+reduce chain 9.60 -> 14.46 ms
+    (`scripts/profile_segreduce.py`; PERF.md round-4 losers) — the
+    lane-crossing reshape relayout costs more than the dead-lane waste it
+    removes, and the chain is dominated by the row-gather either way.
+
+    A [M, f] array with f = 16 occupies one (8, 128) f32 tile per 8 rows with
+    only f of 128 lanes live, so every cumsum pass wastes 128/f of the
+    VPU/HBM work. Folding FOLD = 128/f consecutive rows into the lane axis
+    ([M/FOLD, 128], fully packed) runs the two-level prefix over FOLD-fold
+    fewer sublane rows at full lane width; a log2(FOLD)-step lane-group
+    prefix plus one row-shifted correction then rebuilds the exact row-major
+    inclusive cumsum:
+
+        full[i, g] = P[i, g] - P[i-1, g] + S[i-1]
+
+    where P is the within-row group prefix of the per-group column cumsum
+    and S its all-group total. Garbage tails stay safe: every position a
+    garbage row at flat index j can reach has flat index >= j (column
+    cumsum moves down rows, the group prefix moves right within a row, the
+    S term moves strictly down), all past every segment boundary —
+    TestSegmentReduceGarbageTail gates this variant too.
+
+    Float sums re-associate vs the unfolded form (same values, different
+    order), so results differ at f32 rounding, not semantics.
+    """
+    m, f = values.shape
+    fold = 128 // f
+    if fold <= 1 or m % fold or f & (f - 1) or block % fold:
+        return segment_reduce_pre(values, gauss_cum, block)
+    mf = m // fold
+    xf = values.reshape(mf, fold * f)  # row i = flat rows [fold*i, fold*(i+1))
+    blockf = block // fold
+    nb = -(-mf // blockf)
+    pad = nb * blockf - mf
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    xb = xf.reshape(nb, blockf, fold * f)
+    within = jnp.cumsum(xb, axis=1)
+    block_tot = within[:, -1]
+    block_prefix = jnp.concatenate(
+        [jnp.zeros((1, fold * f), values.dtype), jnp.cumsum(block_tot, axis=0)[:-1]]
+    )
+    cs_col = (within + block_prefix[:, None, :]).reshape(nb * blockf, fold * f)[:mf]
+    # Within-row inclusive prefix over the `fold` lane groups (each f wide).
+    p = cs_col
+    s = f
+    while s < fold * f:
+        p = p + _lane_shift_down(p, s)
+        s *= 2
+    # All-group total per row, broadcast back to every group's lanes.
+    tot = jnp.tile(p[:, (fold - 1) * f:], (1, fold))
+    shift = jnp.concatenate(
+        [jnp.zeros((1, fold * f), values.dtype), (tot - p)[:-1]], axis=0
+    )
+    cs = (p + shift).reshape(m, f)
+    cs0 = jnp.concatenate([jnp.zeros((1, f), values.dtype), cs])
+    hi = jnp.minimum(gauss_cum, m)
+    ch = cs0.at[hi].get(indices_are_sorted=True, mode="promise_in_bounds")
+    return ch - jnp.concatenate([jnp.zeros((1, f), values.dtype), ch[:-1]])
+
+
 # Instance offsets ride in f32 metadata rows (see bin_splats' packed `meta`
 # gather); above 2^24 they lose integer exactness and silently corrupt tile
 # assignment, so capacity is hard-capped there. 16.7M instances is ~8x the

@@ -710,7 +710,9 @@ def blend_backward(tile_starts, inst_chunks, tile_g_rgb, tile_r_init, grid: Tile
     """Per-instance feature gradients [CAP/128, FEAT_WIDTH, 128].
 
     Rows past the live total are unwritten garbage; callers must gather
-    through the sentinel-clamped `Binning.pre_pos` (dead -> zero row).
+    through `Binning.pre_pos` and reduce only up to `gauss_cum` bounds (dead
+    rows sit past every segment boundary; see tiled.py and
+    TestSegmentReduceGarbageTail).
     """
     ncap = inst_chunks.shape[0]
     kernel = functools.partial(

@@ -50,7 +50,12 @@ def accumulate_gss_auto(scene: GaussianScene, cameras: Iterable[Camera], bg, max
     than one device is visible (parallel/gss.py — psum of the per-Gaussian
     accumulators; equivalence vs the sequential loop gated in
     tests/test_parallel.py), sequential on one chip."""
-    cameras = list(cameras)
+    # Counting renders never touch the gt; drop the cached SSIM moment planes
+    # some loops attach so the sharded path doesn't stack/ship them.
+    cameras = [
+        c.with_gt_ssim_stats(None) if c.gt_ssim_stats is not None else c
+        for c in cameras
+    ]
     if len(jax.devices()) > 1 and len(cameras) > 1:
         from lightgaussian_tpu.parallel.gss import accumulate_gss_sharded
         from lightgaussian_tpu.parallel.mesh import make_mesh

@@ -96,6 +96,43 @@ def gss_prune(
     return densify_mod.prune_by_mask(state, keep), np.asarray(v_imp)
 
 
+# Auto-cache budget for per-camera GT SSIM moments: the stats add two [C,H,W]
+# f32 planes per camera (2x the gt image itself, ~12.4 MB at 3x1080p). 4 GiB
+# covers ~330 1080p cameras and leaves >2/3 of a v5e's 16 GB for the scene,
+# optimizer, and instance buffers.
+_GT_SSIM_CACHE_BUDGET_BYTES = 4 << 30
+
+
+def _attach_gt_ssim_stats(cams: list[Camera], enable: bool | None) -> list[Camera]:
+    """Precompute per-camera SSIM target moments (train-time cached-GT path).
+
+    `enable=None` = auto: on when the extra storage fits the budget. The
+    moments are bit-identical to what the in-step blur would produce
+    (tests/test_math_core.py::TestCachedTargetSSIM), so this changes step
+    TIME, not step results."""
+    sized = [c for c in cams if c.gt_image is not None]
+    if not sized:
+        return cams
+    extra = sum(2 * 4 * int(np.prod(c.gt_image.shape)) for c in sized)
+    if enable is None:
+        enable = extra <= _GT_SSIM_CACHE_BUDGET_BYTES
+        if not enable:
+            print(
+                f"gt-SSIM moment cache disabled: {extra / 1e9:.1f} GB for "
+                f"{len(sized)} cameras exceeds the {_GT_SSIM_CACHE_BUDGET_BYTES / 1e9:.0f} GB "
+                "auto budget (pass cache_gt_ssim=True to force)"
+            )
+    if not enable:
+        return cams
+    from lightgaussian_tpu.ops import losses as losses_mod
+
+    precompute = jax.jit(losses_mod.precompute_ssim_target_stats)
+    return [
+        c.with_gt_ssim_stats(precompute(c.gt_image)) if c.gt_image is not None else c
+        for c in cams
+    ]
+
+
 def train(
     scene: Scene,
     cfg: TrainConfig,
@@ -114,6 +151,7 @@ def train(
     gui=None,
     gui_source_path: str = "",
     camera_batch: int = 1,
+    cache_gt_ssim: bool | None = None,
 ) -> TrainState:
     """Run the training loop; returns the final state.
 
@@ -129,6 +167,7 @@ def train(
     # leaves would otherwise re-transfer on each dispatch.
     cams = jax.device_put(scene.getTrainCameras())
     test_cams = jax.device_put(scene.getTestCameras())
+    cams = _attach_gt_ssim_stats(cams, cache_gt_ssim)
     if state is None:
         state = init_train_state(scene.gaussians)
     if max_instances is None:

@@ -80,7 +80,9 @@ def make_train_step(
             s = state.scene.with_params(params)
             out = render(s, camera, bg, mean2d_offset=offset, max_instances=max_instances, interpret=interpret)
             l1 = losses.l1_loss(out.render, gt)
-            ssim_v = losses.ssim(out.render, gt)
+            # gt is constant per camera: its blur moments ride the camera
+            # pytree when the loop precomputed them (cached-GT-moments path)
+            ssim_v = losses.ssim(out.render, gt, target_stats=camera.gt_ssim_stats)
             loss = (1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1.0 - ssim_v)
             return loss, (out, l1)
 
@@ -163,7 +165,7 @@ def _make_train_step_batched(
                 )
                 gt = cam.gt_image
                 l1 = losses.l1_loss(out.render, gt)
-                ssim_v = losses.ssim(out.render, gt)
+                ssim_v = losses.ssim(out.render, gt, target_stats=cam.gt_ssim_stats)
                 loss = (1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1.0 - ssim_v)
                 return loss, (l1, losses.psnr(out.render, gt),
                               out.num_instances, out.radii)

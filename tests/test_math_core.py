@@ -292,6 +292,56 @@ class TestFusedSSIMMoments:
             )
 
 
+class TestCachedTargetSSIM:
+    """`ssim(..., target_stats=...)` (cached-GT-moments training path) must
+    equal the plain 5-plane path in value and in d/d(img1), on both the jnp
+    fallback and the fused 3-plane Pallas kernel (interpret mode)."""
+
+    def _ssim_via_fused_xside(self, a, b, stats):
+        m = losses._ssim_moments_fused_xside(11, 1.5, True)(a, b)
+        c = a.shape[0]
+        m = m.reshape(c, 3, *a.shape[1:])
+        mu1, s11, s12 = m[:, 0], m[:, 1], m[:, 2]
+        mu2, s22 = stats
+        c1, c2 = 0.01**2, 0.03**2
+        smap = ((2 * mu1 * mu2 + c1) * (2 * (s12 - mu1 * mu2) + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1)
+            * ((s11 - mu1 * mu1) + (s22 - mu2 * mu2) + c2)
+        )
+        return smap.mean()
+
+    def test_value_matches_plain_path(self, rng):
+        x = jnp.asarray(rng.uniform(size=(3, 41, 67)), jnp.float32)
+        y = jnp.asarray(rng.uniform(size=(3, 41, 67)), jnp.float32)
+        stats = losses.precompute_ssim_target_stats(y)
+        ref = float(losses.ssim(x, y))
+        cached = float(losses.ssim(x, y, target_stats=stats))
+        assert cached == pytest.approx(ref, abs=1e-6)
+        fused = float(self._ssim_via_fused_xside(x, y, stats))
+        assert fused == pytest.approx(ref, abs=1e-6)
+
+    def test_grad_img1_matches_plain_path(self, rng):
+        x = jnp.asarray(rng.uniform(size=(3, 33, 48)), jnp.float32)
+        y = jnp.asarray(rng.uniform(size=(3, 33, 48)), jnp.float32)
+        stats = losses.precompute_ssim_target_stats(y)
+        g_ref = jax.grad(lambda a: losses.ssim(a, y))(x)
+        g_cached = jax.grad(lambda a: losses.ssim(a, y, target_stats=stats))(x)
+        g_fused = jax.grad(lambda a: self._ssim_via_fused_xside(a, y, stats))(x)
+        scale = float(jnp.max(jnp.abs(g_ref))) + 1e-12
+        for g in (g_cached, g_fused):
+            np.testing.assert_allclose(
+                np.asarray(g) / scale, np.asarray(g_ref) / scale, atol=1e-5
+            )
+
+    def test_gs_loss_threading(self, rng):
+        x = jnp.asarray(rng.uniform(size=(3, 24, 32)), jnp.float32)
+        y = jnp.asarray(rng.uniform(size=(3, 24, 32)), jnp.float32)
+        stats = losses.precompute_ssim_target_stats(y)
+        ref = float(losses.gs_loss(x, y))
+        cached = float(losses.gs_loss(x, y, target_stats=stats))
+        assert cached == pytest.approx(ref, abs=1e-6)
+
+
 def test_masked_losses():
     import numpy as np
     from lightgaussian_tpu.ops import losses

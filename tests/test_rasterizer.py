@@ -198,10 +198,12 @@ class TestSegmentReduceGarbageTail:
     for the very block whose tail holds the garbage (the round-3 regression
     caught by test_grads_match_oracle)."""
 
-    def test_nan_tail_is_inert(self, rng):
+    @pytest.mark.parametrize("reduce_name", ["segment_reduce_pre", "segment_reduce_pre_folded"])
+    def test_nan_tail_is_inert(self, rng, reduce_name):
         import jax.numpy as jnp
-        from lightgaussian_tpu.ops.rasterize.binning import segment_reduce_pre
+        from lightgaussian_tpu.ops.rasterize import binning
 
+        reduce_fn = getattr(binning, reduce_name)
         n, total, cap, f = 37, 1500, 4096, 16
         vals = rng.normal(size=(cap, f)).astype(np.float32)
         vals[total:] = np.nan  # garbage tail INSIDE the boundary block too
@@ -209,12 +211,29 @@ class TestSegmentReduceGarbageTail:
         cuts = np.sort(rng.choice(np.arange(1, total), n - 1, replace=False))
         cum = np.concatenate([cuts, [total]]).astype(np.int32)
         got = np.asarray(
-            segment_reduce_pre(jnp.asarray(vals), jnp.asarray(cum), block=512)
+            reduce_fn(jnp.asarray(vals), jnp.asarray(cum), block=512)
         )
         assert np.isfinite(got).all(), "garbage tail leaked into segment sums"
         lo = np.concatenate([[0], cum[:-1]])
         want = np.stack([vals[a:b].sum(axis=0) for a, b in zip(lo, cum)])
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    @pytest.mark.parametrize("f", [2, 16])
+    def test_folded_matches_unfolded(self, rng, f):
+        import jax.numpy as jnp
+        from lightgaussian_tpu.ops.rasterize.binning import (
+            segment_reduce_pre,
+            segment_reduce_pre_folded,
+        )
+
+        cap, total, n = 8192, 7420, 301
+        vals = rng.normal(size=(cap, f)).astype(np.float32)
+        cuts = np.sort(rng.choice(np.arange(1, total), n - 1, replace=False))
+        cum = jnp.asarray(np.concatenate([cuts, [total]]), jnp.int32)
+        a = np.asarray(segment_reduce_pre(jnp.asarray(vals), cum))
+        b = np.asarray(segment_reduce_pre_folded(jnp.asarray(vals), cum))
+        # same sums, re-associated: f32 rounding only
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
     def test_zero_count_segments(self, rng):
         import jax.numpy as jnp
