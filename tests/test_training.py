@@ -70,6 +70,33 @@ class TestTrainStep:
         assert float(state.denom.max()) > 0
         assert float(state.xyz_grad_accum.max()) > 0
 
+    def test_cached_gt_ssim_stats_match_plain(self, setup):
+        """A camera carrying precomputed GT SSIM moments must produce the
+        same step (loss, grads -> params, densify stats) as the plain path —
+        the train/loop.py staging attaches these by default."""
+        from lightgaussian_tpu.ops import losses
+
+        _, student, cams = setup
+        opt = OptimizationParams()
+        step = make_train_step(opt, spatial_lr_scale=1.0, max_instances=MAX_INST, interpret=True)
+        state = init_train_state(student)
+        cam = cams[0]
+        cam_stats = cam.with_gt_ssim_stats(
+            losses.precompute_ssim_target_stats(cam.gt_image)
+        )
+        s_plain, m_plain = step(state, cam, BG)
+        s_cached, m_cached = step(state, cam_stats, BG)
+        assert float(m_cached.loss) == pytest.approx(float(m_plain.loss), abs=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(s_plain.scene.params()),
+            jax.tree.leaves(s_cached.scene.params()),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s_plain.xyz_grad_accum), np.asarray(s_cached.xyz_grad_accum),
+            atol=1e-6,
+        )
+
     def test_frozen_fields(self, setup):
         _, student, cams = setup
         opt = OptimizationParams()
