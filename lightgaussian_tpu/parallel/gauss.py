@@ -148,7 +148,8 @@ def make_gauss_train_step(
             )
             full = jax.lax.all_gather(strip, GAUSS_AXIS, axis=1, tiled=True)
             l1 = losses.l1_loss(full, gt)
-            ssim_v = losses.ssim(full, gt)
+            # per-camera cached GT moments ride the camera batch when staged
+            ssim_v = losses.ssim(full, gt, target_stats=camera.gt_ssim_stats)
             loss = (1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1.0 - ssim_v)
             return loss, (full, total, l1, local.radius)
 

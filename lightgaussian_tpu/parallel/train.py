@@ -80,7 +80,8 @@ def make_parallel_train_step(
             )
             full = jax.lax.all_gather(strip, SPACE_AXIS, axis=1, tiled=True)
             l1 = losses.l1_loss(full, gt)
-            ssim_v = losses.ssim(full, gt)
+            # per-camera cached GT moments ride the camera batch when staged
+            ssim_v = losses.ssim(full, gt, target_stats=camera.gt_ssim_stats)
             loss = (1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (1.0 - ssim_v)
             # radii ride the aux so densify stats don't pay a second O(N)
             # preprocess of every Gaussian after the grad pass

@@ -91,6 +91,36 @@ def test_parallel_step_matches_sequential(mesh_shape):
     assert int(new_state.step) == 1
 
 
+def test_parallel_step_cached_gt_ssim_matches_plain():
+    """Cameras carrying precomputed GT SSIM moments through the (data, space)
+    step must produce the same update as the plain path (the loop staging
+    attaches these by default)."""
+    from lightgaussian_tpu.ops import losses as losses_mod
+
+    data, space = 2, 2
+    student = random_scene(n=96, seed=7, capacity=128)
+    _, cams, bg = _make_batch(data)
+    cams_stats = [
+        c.with_gt_ssim_stats(losses_mod.precompute_ssim_target_stats(c.gt_image))
+        for c in cams
+    ]
+    opt_cfg = OptimizationParams()
+    mesh = make_mesh(data=data, space=space)
+    step = make_parallel_train_step(
+        opt_cfg, 1.0, max_instances=MAX_INST, mesh=mesh, image_height=H,
+        interpret=True,
+    )
+    state = init_train_state(student)
+    s_plain, m_plain = step(state, stack_cameras(cams), bg)
+    s_cached, m_cached = step(state, stack_cameras(cams_stats), bg)
+    np.testing.assert_allclose(float(m_cached.loss), float(m_plain.loss), atol=1e-6)
+    a, b = s_plain.scene.params(), s_cached.scene.params()
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), atol=1e-6, err_msg=f"param {k}"
+        )
+
+
 def test_parallel_loss_decreases_over_steps():
     data, space = 4, 2
     student = random_scene(n=96, seed=11, capacity=128)
