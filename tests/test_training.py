@@ -97,6 +97,26 @@ class TestTrainStep:
             atol=1e-6,
         )
 
+    def test_attach_gt_ssim_stats_budget(self, setup, capsys, monkeypatch):
+        """Loop staging: auto-on within budget, auto-off (with a notice)
+        above it, force-on override, no-gt cameras pass through."""
+        from lightgaussian_tpu.train import loop as loop_mod
+
+        _, _, cams = setup
+        out = loop_mod._attach_gt_ssim_stats(cams, None)
+        assert all(c.gt_ssim_stats is not None for c in out)
+        assert out[0].gt_ssim_stats[0].shape == cams[0].gt_image.shape
+
+        monkeypatch.setattr(loop_mod, "_GT_SSIM_CACHE_BUDGET_BYTES", 1)
+        out = loop_mod._attach_gt_ssim_stats(cams, None)
+        assert all(c.gt_ssim_stats is None for c in out)
+        assert "disabled" in capsys.readouterr().out
+        out = loop_mod._attach_gt_ssim_stats(cams, True)  # forced past budget
+        assert all(c.gt_ssim_stats is not None for c in out)
+
+        bare = [Camera.look_at(eye=[0, 0, -3], target=[0, 0, 0])]
+        assert loop_mod._attach_gt_ssim_stats(bare, None)[0].gt_ssim_stats is None
+
     def test_frozen_fields(self, setup):
         _, student, cams = setup
         opt = OptimizationParams()
