@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--interpret", action="store_true", default=None)
+    parser.add_argument("--exact_teacher", action="store_true",
+                        help="render the frozen teacher with the exact training "
+                             "kernel instead of the render-only fast kernel "
+                             "(target delta <= 1e-2 worst / ~4e-4 measured; "
+                             "PARITY.md deliberate divergences)")
     common.add_debug_nans_flag(parser)
     return parser
 
@@ -111,6 +116,7 @@ def main(argv=None) -> None:
         opt, scene.cameras_extent, max_instances,
         gamma=args.lr_gamma, gamma_every=args.lr_step_every,
         frozen_fields=frozen, interpret=interpret,
+        teacher_fast=not args.exact_teacher,
     )
     eval_fn = make_eval_render(max_instances, interpret=interpret)
     logger = MetricsLogger(out)
