@@ -625,10 +625,12 @@ def main():
         "",
         f"Note on the FULL-budget ablation [2] vs [2b]: with FT_ITERS="
         f"{FT_ITERS} (~{FT_ITERS/TRAIN_ITERS:.0%} of the training budget) both "
-        f"prunes re-converge toward the capacity-limited ceiling, so their gap "
-        f"({p2 - p2b:+.2f} dB here) is within re-convergence noise — the GSS "
-        "advantage is demonstrated at contact ([2c]/[2d]) and at the "
-        "reference's 1/6 finetune budget ([2s]/[2t]).",
+        f"prunes re-converge toward the capacity-limited ceiling, shrinking "
+        f"the gap to {p2 - p2b:+.2f} dB here — small but REAL: the measured "
+        "seed-to-seed spread of a finetune configuration is ~0.01 dB "
+        "(scripts/e2e_seed_variance.py footnote), so the margin hierarchy is "
+        "GSS at contact ([2c]/[2d]) >> at the reference's 1/6 finetune budget "
+        "([2s]/[2t]) > at full budget.",
         "",
         f"Total wall-clock: {(time.time() - t_start) / 60:.1f} min "
         f"(preset {_ARGS.preset}).", ""]
