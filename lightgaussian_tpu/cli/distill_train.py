@@ -57,11 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--interpret", action="store_true", default=None)
-    parser.add_argument("--exact_teacher", action="store_true",
-                        help="render the frozen teacher with the exact training "
-                             "kernel instead of the render-only fast kernel "
-                             "(target delta <= 1e-2 worst / ~4e-4 measured; "
-                             "PARITY.md deliberate divergences)")
+    parser.add_argument("--fast_teacher", action="store_true",
+                        help="render the frozen teacher with the render-only "
+                             "fast kernel instead of the exact training kernel "
+                             "(~1 ms/step faster; target delta <= 1e-2 worst / "
+                             "~4e-4 measured; PARITY.md deliberate divergences). "
+                             "Default matches the reference: teacher and "
+                             "student share the exact rasterizer kernel")
     common.add_debug_nans_flag(parser)
     return parser
 
@@ -116,7 +118,7 @@ def main(argv=None) -> None:
         opt, scene.cameras_extent, max_instances,
         gamma=args.lr_gamma, gamma_every=args.lr_step_every,
         frozen_fields=frozen, interpret=interpret,
-        teacher_fast=not args.exact_teacher,
+        teacher_fast=args.fast_teacher,
     )
     eval_fn = make_eval_render(max_instances, interpret=interpret)
     logger = MetricsLogger(out)

@@ -255,10 +255,13 @@ def _ssim_moments_fused_xside(window_size: int, sigma: float, interpret: bool):
 
     Forward: one Pallas pass from (x, y) to the three planes B(x), B(x^2),
     B(x*y) per channel. Backward blurs only the THREE cotangent planes (the
-    full-moment VJP blurs five): dx = B(g0) + 2x*B(g1) + y*B(g2), and the
-    partial through the x*y plane gives dy = x*B(g2) (callers pass a
-    stop_gradient'd target, so the missing dy paths through the PRECOMPUTED
-    B(y), B(y^2) stats are intentionally absent)."""
+    full-moment VJP blurs five): dx = B(g0) + 2x*B(g1) + y*B(g2). dy is
+    returned as ZERO, not the partial x*B(g2) through the x*y plane: the y
+    paths through the PRECOMPUTED B(y), B(y^2) stats are absent here by
+    design (the target is a constant in training), and a partial cotangent
+    would be a silently wrong gradient for any caller that differentiated
+    w.r.t. y — zeros make the "target is constant" contract explicit.
+    `ssim()` additionally stop_gradients img2 on this path."""
 
     @jax.custom_vjp
     def moments(x, y):
@@ -273,8 +276,7 @@ def _ssim_moments_fused_xside(window_size: int, sigma: float, interpret: bool):
         gb = _blur_pallas_raw(g, window_size, sigma, interpret)
         gb = gb.reshape(c, 3, *x.shape[1:])
         dx = gb[:, 0] + 2.0 * x * gb[:, 1] + y * gb[:, 2]
-        dy = x * gb[:, 2]
-        return dx, dy
+        return dx, jnp.zeros_like(y)
 
     moments.defvjp(fwd, bwd)
     return moments

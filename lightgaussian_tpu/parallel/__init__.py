@@ -15,6 +15,10 @@ from lightgaussian_tpu.parallel.gss import (
     make_accumulate_gss_sharded,
     pad_cameras,
 )
+from lightgaussian_tpu.parallel.render import (
+    make_parallel_render,
+    parallel_render,
+)
 
 __all__ = [
     "make_mesh",
@@ -30,4 +34,6 @@ __all__ = [
     "accumulate_gss_sharded",
     "make_accumulate_gss_sharded",
     "pad_cameras",
+    "make_parallel_render",
+    "parallel_render",
 ]

@@ -33,13 +33,19 @@ from lightgaussian_tpu.train.state import TrainState
 from lightgaussian_tpu.train.step import StepMetrics
 
 
-def render_strip(scene, camera, bg, y0, strip_h, max_instances, mean2d_offset, interpret):
+def render_strip(scene, camera, bg, y0, strip_h, max_instances, mean2d_offset, interpret,
+                 fast=False):
     """Render rows [y0, y0 + strip_h) of the camera's image by shifting the
-    projected splats down by y0 and blending into a strip-sized tile grid."""
+    projected splats down by y0 and blending into a strip-sized tile grid.
+
+    `fast=True` uses the render-only (non-differentiable) fast kernel — the
+    inference path of `parallel/render.py`; training keeps the exact
+    differentiable blend."""
     splats = preprocess(scene, camera, mean2d_offset=mean2d_offset)
     shift = jnp.stack([jnp.zeros_like(y0), y0.astype(jnp.float32)])
     splats = dataclasses.replace(splats, mean2d=splats.mean2d - shift[None, :])
-    image, final_t, total = tiled_mod.blend_tiled(
+    blend = tiled_mod.blend_tiled_fast if fast else tiled_mod.blend_tiled
+    image, final_t, total = blend(
         splats, bg, camera.width, strip_h, max_instances, interpret
     )
     return image, final_t, total, splats

@@ -51,10 +51,27 @@ def render_set(
     max_instances: int,
     interpret: bool = False,
 ) -> Path:
-    """`render_set` (`render.py:25-41`): writes renders/ and gt/ PNGs."""
+    """`render_set` (`render.py:25-41`): writes renders/ and gt/ PNGs.
+
+    On a multi-chip backend with a single-resolution camera set, frames are
+    rendered through the space-sharded strip renderer (`parallel/render.py`,
+    all devices on the `space` axis) — per-strip blending is pixel-exact, so
+    this changes throughput, not output (gated in tests/test_parallel.py)."""
     base = Path(model_path) / name / f"ours_{iteration}"
     renders_dir = base / "renders"
     gt_dir = base / "gt"
+    one_res = len({(c.width, c.height) for c in cameras}) <= 1
+    if len(jax.devices()) > 1 and one_res and cameras:
+        from lightgaussian_tpu.parallel import parallel_render
+
+        images = parallel_render(
+            scene, cameras, bg, max_instances=max_instances, interpret=interpret
+        )
+        for idx, (img, cam) in enumerate(zip(images, cameras)):
+            save_png(img, renders_dir / f"{idx:05d}.png")
+            if cam.gt_image is not None:
+                save_png(cam.gt_image, gt_dir / f"{idx:05d}.png")
+        return base
     fn = _make_render_fn(max_instances, interpret)
     for idx, cam in enumerate(cameras):
         img = fn(scene, cam, bg)

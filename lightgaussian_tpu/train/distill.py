@@ -43,7 +43,7 @@ def make_distill_step(
     gamma_every: int = 500,
     frozen_fields: tuple = ("log_scales", "quats", "opacity_logits"),
     interpret: bool = False,
-    teacher_fast: bool = True,
+    teacher_fast: bool = False,
 ):
     """Build distill_step(state, teacher, camera, bg) -> (state, metrics).
 
@@ -56,12 +56,15 @@ def make_distill_step(
 
     @jax.jit
     def distill_step(state: TrainState, teacher: GaussianScene, camera: Camera, bg: jnp.ndarray):
-        # The teacher is frozen: render it with the render-only fast kernel
-        # (no backward residuals; the pre_pos sort and gradient products DCE
-        # away). Target deviation is bounded by the early-stop band
-        # (<= T_EPS/(1-MAX_ALPHA) = 1e-2 worst case, ~4e-4 measured — below
-        # PNG quantization; see pallas_blend._fast_kernel), far inside the
-        # student's distillation loss scale.
+        # The teacher is frozen, so no gradients flow through it and its
+        # backward-only binning products DCE away either way. The default
+        # (teacher_fast=False) renders it through the SAME exact kernel as
+        # the student, matching the reference (distill_train.py renders both
+        # through one rasterizer). teacher_fast=True opts into the
+        # render-only fast kernel: target deviation bounded by the
+        # early-stop band (<= T_EPS/(1-MAX_ALPHA) = 1e-2 worst, ~4e-4
+        # measured — below PNG quantization; pallas_blend._fast_kernel) for
+        # a measured ~1 ms of a ~107 ms step — marginal, hence opt-in.
         teacher_img = render(
             teacher, camera, bg, max_instances=max_instances, interpret=interpret,
             fast=teacher_fast,

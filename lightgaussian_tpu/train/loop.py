@@ -113,6 +113,18 @@ def _attach_gt_ssim_stats(cams: list[Camera], enable: bool | None) -> list[Camer
     sized = [c for c in cams if c.gt_image is not None]
     if not sized:
         return cams
+    if len(sized) != len(cams):
+        # Attaching stats to only the gt-carrying cameras would make the
+        # Camera pytree structurally heterogeneous (already true of gt_image
+        # itself): stack_cameras would raise under camera_batch > 1 and each
+        # structure would jit-trace separately at batch 1. Keep the list
+        # uniform by skipping the cache outright for mixed lists.
+        print(
+            f"gt-SSIM moment cache disabled: {len(cams) - len(sized)} of "
+            f"{len(cams)} train cameras carry no gt image (mixed pytree "
+            "structures would retrace/fail to stack)"
+        )
+        return cams
     extra = sum(2 * 4 * int(np.prod(c.gt_image.shape)) for c in sized)
     if enable is None:
         enable = extra <= _GT_SSIM_CACHE_BUDGET_BYTES
@@ -390,9 +402,16 @@ def train(
             consume_metrics()
             jax.block_until_ready(state.scene.means)
             timer.pause()
+            # Strip cached SSIM moments from the train slice: eval_fn was
+            # traced for stat-free test cameras, and the stats would force a
+            # second eval compile + ship ~12 MB/camera of unused planes.
+            train_slice = [
+                c.with_gt_ssim_stats(None) if c.gt_ssim_stats is not None else c
+                for c in cams[: min(5, len(cams))]
+            ]
             training_report(
                 logger, iteration, state.scene, eval_fn, test_cams,
-                cams[: min(5, len(cams))], bg, timer.total,
+                train_slice, bg, timer.total,
             )
 
         if iteration in cfg.save_iterations:

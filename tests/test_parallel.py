@@ -167,6 +167,74 @@ def test_sharded_gss_matches_sequential(mesh_shape, n_cams):
     assert int(np.asarray(counts_seq).sum()) > 0, "vacuous sweep"
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2), (1, 8)])
+def test_parallel_render_matches_single_device(mesh_shape):
+    """The standalone space-sharded inference render (parallel/render.py):
+    per-chip tile-row strips all_gathered into full frames must match the
+    single-device render of the same cameras — the multi-chip counterpart of
+    the reference's pure-render paths (render.py:43, render_video.py:107)."""
+    from lightgaussian_tpu.parallel import make_parallel_render
+
+    data, space = mesh_shape
+    scene, cams, bg = _make_batch(data, with_gt=False)
+    mesh = make_mesh(data=data, space=space)
+
+    for fast in (False, True):
+        fn = make_parallel_render(
+            mesh, W, H, max_instances=MAX_INST, interpret=True, fast=fast
+        )
+        images, final_t = fn(scene, stack_cameras(cams), bg)
+        assert images.shape == (data, 3, H, W)
+        assert final_t.shape == (data, H, W)
+        for i, cam in enumerate(cams):
+            ref = render(
+                scene, cam, bg, max_instances=MAX_INST, interpret=True, fast=fast
+            )
+            np.testing.assert_allclose(
+                np.asarray(images[i]), np.asarray(ref.render), atol=1e-5,
+                err_msg=f"mesh {mesh_shape} fast={fast} camera {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(final_t[i]), np.asarray(ref.final_T), atol=1e-5,
+                err_msg=f"mesh {mesh_shape} fast={fast} camera {i} final_T",
+            )
+
+
+def test_parallel_render_odd_height():
+    """Heights not divisible by the space axis: the last shard renders a
+    short ceil-strip and the gathered frame is cropped — must still match
+    single-device exactly."""
+    from lightgaussian_tpu.parallel import make_parallel_render
+
+    h, w = 41, 96
+    scene = random_scene(n=128, seed=3, capacity=256)
+    bg = jnp.zeros((3,), jnp.float32)
+    cam = Camera.look_at(eye=[0.5, -0.3, -3.5], target=[0, 0, 0], width=w, height=h)
+    mesh = make_mesh(data=1, space=8)
+    fn = make_parallel_render(mesh, w, h, max_instances=MAX_INST, interpret=True)
+    images, final_t = fn(scene, stack_cameras([cam]), bg)
+    assert images.shape == (1, 3, h, w)
+    ref = render(scene, cam, bg, max_instances=MAX_INST, interpret=True, fast=True)
+    np.testing.assert_allclose(np.asarray(images[0]), np.asarray(ref.render), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final_t[0]), np.asarray(ref.final_T), atol=1e-5)
+
+
+def test_parallel_render_list_padding():
+    """`parallel_render` over a camera list not divisible by the data axis:
+    padded frames are dropped and every returned frame matches single-device."""
+    from lightgaussian_tpu.parallel import parallel_render
+
+    scene, cams, bg = _make_batch(3, with_gt=False)
+    mesh = make_mesh(data=2, space=2)
+    images = parallel_render(
+        scene, cams, bg, mesh=mesh, max_instances=MAX_INST, interpret=True
+    )
+    assert len(images) == 3
+    for img, cam in zip(images, cams):
+        ref = render(scene, cam, bg, max_instances=MAX_INST, interpret=True, fast=True)
+        np.testing.assert_allclose(img, np.asarray(ref.render), atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
