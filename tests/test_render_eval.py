@@ -5,6 +5,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lightgaussian_tpu.config import OptimizationParams
 import lightgaussian_tpu.eval.lpips as lpips_mod
@@ -173,6 +174,65 @@ def test_lpips_weight_roundtrip(tmp_path, rng):
     assert params.kind == "vgg-pretrained"
     a = jnp.asarray(rng.random((3, 16, 16)), jnp.float32)
     assert float(lpips_mod.lpips(params, a, a)) < 1e-10
+
+
+def _synthetic_pretrained_npz(path, rng):
+    """A weights file in the converted-pretrained format (the layout
+    `convert_torch_lpips` emits from torchvision VGG16 + richzhang lin
+    state dicts, `/root/reference/lpipsPyTorch/modules/utils.py:12-33`)."""
+    vgg_state, lin_state = {}, {}
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    c_in = 3
+    blocks = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+    flat = [c for c, n in blocks for _ in range(n)]
+    for lid, c_out in zip(conv_ids, flat):
+        vgg_state[f"{lid}.weight"] = (
+            rng.normal(size=(c_out, c_in, 3, 3)).astype(np.float32) * 0.1
+        )
+        vgg_state[f"{lid}.bias"] = rng.normal(size=(c_out,)).astype(np.float32) * 0.01
+        c_in = c_out
+    for s, (c, _) in enumerate(blocks):
+        lin_state[f"lin{s}.model.1.weight"] = rng.random((1, c, 1, 1)).astype(np.float32)
+    lpips_mod.convert_torch_lpips(vgg_state, lin_state, path)
+    return path
+
+
+def test_metrics_consume_pretrained_lpips_weights(tmp_path, rng):
+    """The day real LPIPS weights arrive, nothing new needs writing: a
+    weights file in the pretrained format must flow through get_lpips_params
+    -> evaluate_method_dir, flip `lpips_kind` to vgg-pretrained, and change
+    the scores vs the seeded-random fallback (VERDICT r4 item 5)."""
+    npz = _synthetic_pretrained_npz(tmp_path / "lpips_vgg.npz", rng)
+
+    scene = random_scene(n=120, seed=2, extent=0.8, scale_range=(0.03, 0.1))
+    bg = jnp.zeros(3)
+    cams = _ring_cameras(2)
+    gt_cams = []
+    for i, c in enumerate(cams):
+        img = render(scene, c, bg, max_instances=MAXI, interpret=True).render
+        # perturb the gt so LPIPS is non-zero and weight-sensitive
+        noise = 0.05 * jnp.asarray(rng.random(img.shape), jnp.float32)
+        gt_cams.append(c.with_gt(jnp.clip(img + noise, 0, 1)))
+    base = render_sets.render_set(
+        tmp_path, "test", 3, gt_cams, scene, bg, MAXI, interpret=True
+    )
+
+    params = lpips_mod.get_lpips_params(npz)
+    assert params.kind == "vgg-pretrained"
+    means_pre, _ = metrics_mod.evaluate_method_dir(base, lpips_params=params)
+    assert means_pre["lpips_kind"] == "vgg-pretrained"
+
+    means_rand, _ = metrics_mod.evaluate_method_dir(base)
+    assert means_rand["lpips_kind"] == "vgg-random"
+    assert means_pre["LPIPS"] > 0
+    assert means_pre["LPIPS"] != pytest.approx(means_rand["LPIPS"], rel=1e-3)
+    # non-perceptual metrics are weight-independent
+    assert means_pre["PSNR"] == pytest.approx(means_rand["PSNR"], abs=1e-9)
+
+    # the full results.json path honors an explicit weights file too
+    metrics_mod.evaluate_model_paths([tmp_path], lpips_weights=npz)
+    saved = json.loads((tmp_path / "results.json").read_text())
+    assert saved["ours_3"]["lpips_kind"] == "vgg-pretrained"
 
 
 def test_render_set_and_metrics(tmp_path):
