@@ -242,7 +242,7 @@ class Binning:
     """
 
     inst_chunks: jnp.ndarray  # [CAP/128, FEAT_WIDTH, 128] f32, sorted compact
-    pre_pos: jnp.ndarray  # [CAP] int32 pre-sort slot -> sorted position
+    pre_pos: jnp.ndarray  # [CAP] int32 pre-sort slot -> sorted position (None for forward_only binnings)
     gauss_cum: jnp.ndarray  # [N] int32 inclusive cumsum of per-Gaussian tile counts
     tile_starts: jnp.ndarray  # [T+1] int32 raw sorted-order offsets
     total: jnp.ndarray  # scalar int32: true live instances (overflow monitor)
@@ -415,7 +415,20 @@ def sort_key_bits(grid: TileGrid) -> int:
     return 32 - tile_bits
 
 
-def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: int = TILE_SIZE) -> Binning:
+def bin_splats(
+    splats: Splats,
+    grid: TileGrid,
+    max_instances: int,
+    tile_size: int = TILE_SIZE,
+    forward_only: bool = False,
+) -> Binning:
+    """`forward_only=True` builds a render-only Binning: the sort carries no
+    `slots` payload and the pre-sort permutation (`pre_pos`) is not computed
+    — those exist solely for the backward/counting gradient reduction. XLA
+    DCEs the second sort on its own when `pre_pos` goes unused, but the
+    third payload word of the FIRST sort cannot be DCE'd out of the variadic
+    sort op, so the inference path must ask for the slim sort explicitly
+    (measured on-chip: see PERF.md round-5 inference binning)."""
     n = splats.mean2d.shape[0]
     cap = instance_capacity(max_instances, grid)
     lo_x, lo_y, hi_x, _hi_y, rect_count = tile_rect(
@@ -489,7 +502,11 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
     key = (tile.astype(jnp.uint32) << depth_bits) | dep_u
     gid_tagged = jnp.where(live, gid_c, n).astype(jnp.int32)
 
-    key_s, gid_s, inv_s = jax.lax.sort((key, gid_tagged, slots), num_keys=1)
+    if forward_only:
+        key_s, gid_s = jax.lax.sort((key, gid_tagged), num_keys=1)
+        pre_pos = None
+    else:
+        key_s, gid_s, inv_s = jax.lax.sort((key, gid_tagged, slots), num_keys=1)
     tile_s = (key_s >> depth_bits).astype(jnp.int32)
 
     # Raw per-tile ranges in the sorted order (adjacent ranges share
@@ -498,16 +515,17 @@ def bin_splats(splats: Splats, grid: TileGrid, max_instances: int, tile_size: in
         tile_s, jnp.arange(grid.num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # Pre-sort slot -> sorted position. A second (cheap, ~1 payload) sort by
-    # the inverse permutation replaces an unsorted scatter, which XLA executes
-    # at ~6 ns/element (~2x the cost of this sort for 1-wide rows, ~16x for
-    # the backward's 16-wide rows). Dead slots (i >= total) map to dead sorted
-    # positions (>= total) whose kernel-output rows are unwritten garbage —
-    # harmless by construction: consumers cumsum in pre-sort order and only
-    # read boundary differences at gauss_cum <= total, all BEFORE any dead
-    # row's position (see tiled.py blend_bwd) — so no sentinel/zero-row
-    # indirection is needed.
-    _, pre_pos = jax.lax.sort((inv_s, slots), num_keys=1)
+    if not forward_only:
+        # Pre-sort slot -> sorted position. A second (cheap, ~1 payload) sort
+        # by the inverse permutation replaces an unsorted scatter, which XLA
+        # executes at ~6 ns/element (~2x the cost of this sort for 1-wide
+        # rows, ~16x for the backward's 16-wide rows). Dead slots (i >= total)
+        # map to dead sorted positions (>= total) whose kernel-output rows are
+        # unwritten garbage — harmless by construction: consumers cumsum in
+        # pre-sort order and only read boundary differences at
+        # gauss_cum <= total, all BEFORE any dead row's position (see tiled.py
+        # blend_bwd) — so no sentinel/zero-row indirection is needed.
+        _, pre_pos = jax.lax.sort((inv_s, slots), num_keys=1)
 
     # Features land in sorted order with ONE row-gather (sentinel id == n hits
     # an appended all-zero row, making padding instances inert).

@@ -177,10 +177,12 @@ def blend_tiled_fast(
 ):
     """Render-only fresh-binning blend: the inference fast path. Runs the
     `_fast_kernel` (no applied-T reduction; measured image delta ~4e-4,
-    worst case 1e-2 on saturated pixels, vs the exact forward) and, being outside the custom VJP, lets XLA DCE the
-    backward-only binning products (pre_pos second sort, gauss_cum)."""
+    worst case 1e-2 on saturated pixels, vs the exact forward) over a
+    forward-only Binning (no `slots` sort payload, no pre_pos second sort —
+    the backward-only products XLA alone cannot strip out of the variadic
+    sort op)."""
     grid = make_grid(width, height)
-    b = binning_mod.bin_splats(splats, grid, max_instances)
+    b = binning_mod.bin_splats(splats, grid, max_instances, forward_only=True)
     tile_rgb, tile_t = pk.blend_forward_fast(b.tile_starts, b.inst_chunks, grid, interpret)
     img_pad = _assemble_image(tile_rgb, grid)
     t_pad = _assemble_image(tile_t, grid)[0]
@@ -194,8 +196,11 @@ def build_binning(
     height: int,
     max_instances: int,
 ) -> "binning_mod.Binning":
-    """Bin splats for later reuse by `blend_tiled_cached`."""
-    return binning_mod.bin_splats(splats, make_grid(width, height), max_instances)
+    """Bin splats for later reuse by `blend_tiled_cached` (forward-only: the
+    cached-reuse path re-gathers features and never touches pre_pos)."""
+    return binning_mod.bin_splats(
+        splats, make_grid(width, height), max_instances, forward_only=True
+    )
 
 
 def blend_tiled_counting(
