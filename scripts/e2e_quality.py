@@ -213,7 +213,7 @@ def main():
         "(no interpret mode). Mirrors the reference's Table-5 stage progression "
         "(BASELINE.md).",
         "",
-        "| Stage | PSNR | SSIM | LPIPS | ckpt MB |",
+        "| Stage | PSNR | SSIM | LPIPS* | ckpt MB |",
         "|---|---|---|---|---|",
     ]
     for name, m, mb in stages:
@@ -221,6 +221,11 @@ def main():
             f"| {name} | {m['PSNR']:.2f} | {m['SSIM']:.4f} | {m['LPIPS']:.4f} | {mb:.2f} |"
         )
     first_mb, last_mb = stages[0][2], stages[-1][2]
+    lines += [
+        "",
+        "*LPIPS kind: vgg-random (no pretrained weights on this box) — "
+        "relative ordering only, not comparable to published LPIPS values.",
+    ]
     lines += ["", f"Compression: {first_mb:.2f} MB -> {last_mb:.2f} MB "
               f"(**{first_mb / max(last_mb, 1e-9):.1f}x**), "
               f"PSNR {stages[0][1]['PSNR']:.2f} -> {stages[-1][1]['PSNR']:.2f} dB.", ""]
