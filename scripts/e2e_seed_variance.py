@@ -22,10 +22,15 @@ sys.path.insert(0, str(REPO))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
+ap.add_argument("--preset", choices=["hard", "hard1080"], default="hard")
+ap.add_argument("--skip-control", action="store_true",
+                help="skip the [1b] full-budget no-prune control (the "
+                "expensive row; VERDICT r4 item 7 asks only [2s]/[2t] at "
+                "hard1080)")
 args = ap.parse_args()
 
-# e2e_hard.py parses its own CLI at import; give it the hard preset.
-sys.argv = ["e2e_hard.py", "--preset", "hard"]
+# e2e_hard.py parses its own CLI at import; give it the chosen preset.
+sys.argv = ["e2e_hard.py", "--preset", args.preset]
 spec = importlib.util.spec_from_file_location("e2e_hard", REPO / "scripts/e2e_hard.py")
 eh = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(eh)
@@ -78,7 +83,8 @@ t0 = time.time()
 for seed, (d2s, d2t, d1b) in sorted(seed_dirs.items()):
     p2s = run_ft(Path(str(MODEL) + d2s), "v_important_score", FTS_END, seed)
     p2t = run_ft(Path(str(MODEL) + d2t), "opacity", FTS_END, seed)
-    p1b = run_ft(Path(str(MODEL) + d1b), None, FT_END, seed)
+    p1b = (float("nan") if args.skip_control
+           else run_ft(Path(str(MODEL) + d1b), None, FT_END, seed))
     rows.append((seed, p2s, p2t, p1b))
     print(f"seed {seed}: [2s] GSS+shortFT {p2s:.2f}  [2t] opacity+shortFT "
           f"{p2t:.2f}  (margin {p2s-p2t:+.2f} dB)  [1b] no-prune ctrl {p1b:.2f}",
@@ -98,7 +104,7 @@ def stat(xs):
 
 lines = [
     "",
-    "## Seed-variance footnote (round 4)",
+    f"## Seed-variance footnote ({'round 5, hard1080' if args.preset == 'hard1080' else 'round 4'})",
     "",
     f"The [2s]/[2t] short-finetune pair and the [1b] control re-run at "
     f"{len(rows)} seeds (same chkpnt{TRAIN_ITERS}, seed varies the finetune "
@@ -112,7 +118,8 @@ for seed, p2s, p2t, p1b in rows:
     lines.append(f"| {seed} | {p2s:.2f} | {p2t:.2f} | {p2s-p2t:+.2f} dB | {p1b:.2f} |")
 lines += [
     "",
-    f"- [2s] PSNR {stat(p2s_all)}; [2t] {stat(p2t_all)}; [1b] {stat(p1b_all)}.",
+    f"- [2s] PSNR {stat(p2s_all)}; [2t] {stat(p2t_all)}"
+    + ("." if args.skip_control else f"; [1b] {stat(p1b_all)}."),
     f"- GSS-vs-opacity margin: **{np.mean(margins):+.2f} dB mean** "
     f"(range {min(margins):+.2f}..{max(margins):+.2f}) — "
     + ("every seed positive; the margin clears the seed-to-seed spread."
@@ -120,11 +127,13 @@ lines += [
        else "see per-seed rows; interpret against the spread."),
     f"- Seed-to-seed spread of a single finetune configuration "
     f"(max-min): [2s] {max(p2s_all)-min(p2s_all):.2f} dB, "
-    f"[2t] {max(p2t_all)-min(p2t_all):.2f} dB, [1b] "
-    f"{max(p1b_all)-min(p1b_all):.2f} dB — the yardstick for calling a "
-    f"full-budget gap 're-convergence noise'.",
+    f"[2t] {max(p2t_all)-min(p2t_all):.2f} dB"
+    + ("" if args.skip_control else
+       f", [1b] {max(p1b_all)-min(p1b_all):.2f} dB")
+    + " — the yardstick for calling a full-budget gap 're-convergence noise'.",
 ]
-report = Path(REPO / "E2E_TPU_hard.md")
+report = Path(REPO / ("E2E_TPU_hard1080.md" if args.preset == "hard1080"
+                      else "E2E_TPU_hard.md"))
 with report.open("a") as f:
     f.write("\n".join(lines) + "\n")
 print(f"appended seed-variance footnote to {report}")
