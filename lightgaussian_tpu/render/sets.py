@@ -212,6 +212,20 @@ def render_trajectory(
             for i in range(n_frames)
         ]
 
+    if len(jax.devices()) > 1:
+        # Multi-chip: render every frame fresh through the space-sharded
+        # strip renderer (parallel/render.py) — strips scale with chips and
+        # each frame is exact, so the single-chip drift-gated reuse
+        # machinery below (whose caches are per-device) is not needed.
+        from lightgaussian_tpu.parallel import parallel_render
+
+        images = parallel_render(
+            scene, frames, bg, max_instances=max_instances, interpret=interpret
+        )
+        for idx, img in enumerate(images):
+            save_png(img, base / f"{idx:05d}.png")
+        return base
+
     if rebin_every <= 1:
         for idx, cam in enumerate(frames):
             save_png(fn(scene, cam, bg), base / f"{idx:05d}.png")
