@@ -212,3 +212,31 @@ def test_trajectory_grows_capacity_on_denser_views(tmp_path, monkeypatch):
             got, want, atol=1.0 / 255.0 + 1e-6,
             err_msg=f"frame {i} (total {totals[i]}) truncated or stale",
         )
+
+
+def test_forward_only_binning_matches_full():
+    """bin_splats(forward_only=True) (round 5: no slots sort payload, no
+    pre_pos second sort) must produce the identical sorted instance buffer,
+    tile ranges, and gid map as the full binning — only the backward-only
+    products differ (pre_pos is None)."""
+    from lightgaussian_tpu.ops.rasterize.binning import bin_splats, make_grid
+    from lightgaussian_tpu.ops.rasterize.projection import preprocess
+
+    scene = random_scene(n=300, seed=5, extent=0.8, scale_range=(0.03, 0.1))
+    cam = _orbit_cam(0.4)
+    splats = preprocess(scene, cam)
+    grid = make_grid(cam.width, cam.height)
+    full = bin_splats(splats, grid, MAXI)
+    fwd = bin_splats(splats, grid, MAXI, forward_only=True)
+
+    assert fwd.pre_pos is None
+    assert full.pre_pos is not None
+    np.testing.assert_array_equal(np.asarray(fwd.total), np.asarray(full.total))
+    np.testing.assert_array_equal(
+        np.asarray(fwd.tile_starts), np.asarray(full.tile_starts))
+    np.testing.assert_array_equal(
+        np.asarray(fwd.gid_sorted), np.asarray(full.gid_sorted))
+    np.testing.assert_array_equal(
+        np.asarray(fwd.inst_chunks), np.asarray(full.inst_chunks))
+    np.testing.assert_array_equal(
+        np.asarray(fwd.gauss_cum), np.asarray(full.gauss_cum))
