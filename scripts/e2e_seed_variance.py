@@ -102,20 +102,24 @@ def stat(xs):
     return f"{np.mean(xs):.2f} (range {min(xs):.2f}..{max(xs):.2f})"
 
 
+what = ("The [2s]/[2t] short-finetune pair re-run" if args.skip_control else
+        "The [2s]/[2t] short-finetune pair and the [1b] control re-run")
 lines = [
     "",
     f"## Seed-variance footnote ({'round 5, hard1080' if args.preset == 'hard1080' else 'round 4'})",
     "",
-    f"The [2s]/[2t] short-finetune pair and the [1b] control re-run at "
+    f"{what} at "
     f"{len(rows)} seeds (same chkpnt{TRAIN_ITERS}, seed varies the finetune "
     f"camera shuffle; `scripts/e2e_seed_variance.py`, "
     f"{(time.time()-t0)/60:.0f} min):",
     "",
-    "| seed | [2s] GSS+shortFT | [2t] opacity+shortFT | GSS margin | [1b] ctrl |",
-    "|---|---|---|---|---|",
+    "| seed | [2s] GSS+shortFT | [2t] opacity+shortFT | GSS margin |"
+    + ("" if args.skip_control else " [1b] ctrl |"),
+    "|---|---|---|---|" + ("" if args.skip_control else "---|"),
 ]
 for seed, p2s, p2t, p1b in rows:
-    lines.append(f"| {seed} | {p2s:.2f} | {p2t:.2f} | {p2s-p2t:+.2f} dB | {p1b:.2f} |")
+    lines.append(f"| {seed} | {p2s:.2f} | {p2t:.2f} | {p2s-p2t:+.2f} dB |"
+                 + ("" if args.skip_control else f" {p1b:.2f} |"))
 lines += [
     "",
     f"- [2s] PSNR {stat(p2s_all)}; [2t] {stat(p2t_all)}"
