@@ -267,6 +267,39 @@ def test_render_trajectory_writes_frames(tmp_path):
     assert len(list(base.iterdir())) == 4
 
 
+def test_render_trajectory_multidevice_matches_fresh(tmp_path):
+    """The multi-device dispatch (sets.py: space-sharded strip renderer,
+    every frame fresh) must write the same frames, in the same order, as a
+    direct single-device render of the same pose list — pins the pose/
+    ordering/gt-stripping plumbing, not just the strip math (which
+    test_parallel gates at 1e-5)."""
+    import jax
+    from PIL import Image
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend (8 virtual CPU devices)")
+    scene = random_scene(n=120, seed=2, extent=0.8, scale_range=(0.03, 0.1))
+    cams = _ring_cameras(8)
+    bg = jnp.zeros(3)
+    base = render_sets.render_trajectory(
+        tmp_path, "ellipse", 3, cams, scene, bg, MAXI, n_frames=3, interpret=True
+    )
+    # Reproduce the deterministic pose list and render each frame on the
+    # single-device path.
+    w2cs = pose_gen.generate_ellipse_path(cams, n_frames=3)
+    for idx, w2c in enumerate(w2cs):
+        cam = pose_gen.camera_from_w2c(w2c, cams[0])
+        ref = np.clip(np.asarray(
+            render(scene, cam, bg, max_instances=MAXI, interpret=True).render
+        ), 0.0, 1.0)
+        got = np.asarray(
+            Image.open(base / f"{idx:05d}.png"), dtype=np.float32
+        ).transpose(2, 0, 1) / 255.0
+        # exact up to 8-bit PNG quantization (+1 LSB for f32 regrouping at
+        # strip seams)
+        assert np.abs(got - ref).max() <= 1.6 / 255.0
+
+
 # ---------------------------------------------------------------------------
 # Logging
 # ---------------------------------------------------------------------------
