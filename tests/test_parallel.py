@@ -235,6 +235,23 @@ def test_parallel_render_list_padding():
         np.testing.assert_allclose(img, np.asarray(ref.render), atol=1e-5)
 
 
+def test_parallel_render_edge_inputs():
+    """Empty camera lists return empty; mixed resolutions are rejected with a
+    clear error (one compiled program per call is the contract)."""
+    from lightgaussian_tpu.parallel import parallel_render
+
+    scene, cams, bg = _make_batch(1, with_gt=False)
+    assert parallel_render(scene, [], bg, max_instances=MAX_INST, interpret=True) == []
+
+    other = Camera.look_at(
+        eye=[0.0, 0.0, -3.5], target=[0, 0, 0], width=W // 2, height=H
+    )
+    with pytest.raises(ValueError, match="single resolution"):
+        parallel_render(
+            scene, [cams[0], other], bg, max_instances=MAX_INST, interpret=True
+        )
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

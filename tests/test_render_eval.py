@@ -267,6 +267,27 @@ def test_render_trajectory_writes_frames(tmp_path):
     assert len(list(base.iterdir())) == 4
 
 
+def test_render_set_mixed_resolution_falls_back(tmp_path):
+    """A camera set with more than one resolution cannot share the
+    space-sharded renderer's one compiled program — render_set must fall back
+    to the per-camera single-device path and still write every frame."""
+    scene = random_scene(n=100, seed=4, extent=0.8, scale_range=(0.03, 0.1))
+    bg = jnp.zeros(3)
+    cams = _ring_cameras(2)
+    cams.append(_ring_cameras(1, width=48, height=32)[0])
+    gt_cams = []
+    for c in cams:
+        img = render(scene, c, bg, max_instances=MAXI, interpret=True).render
+        gt_cams.append(c.with_gt(jnp.clip(img, 0, 1)))
+    base = render_sets.render_set(
+        tmp_path, "mixed", 1, gt_cams, scene, bg, MAXI, interpret=True
+    )
+    names = sorted(p.name for p in (base / "renders").iterdir())
+    assert names == ["00000.png", "00001.png", "00002.png"]
+    means, _ = metrics_mod.evaluate_method_dir(base)
+    assert means["PSNR"] > 45  # renders still match their own gt per camera
+
+
 def test_render_trajectory_multidevice_matches_fresh(tmp_path):
     """The multi-device dispatch (sets.py: space-sharded strip renderer,
     every frame fresh) must write the same frames, in the same order, as a
