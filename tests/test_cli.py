@@ -151,6 +151,44 @@ def test_save_imp_score_cli(workspace):
     assert scores.shape[0] == int(ply.num_alive())
 
 
+def test_distill_cli(workspace, tmp_path):
+    """Drive the SH-distillation CLI end-to-end from the trained checkpoint
+    (reference distill_train.py): the saved student must carry the truncated
+    SH degree, and the chkpnt/imp_score artifacts must be written."""
+    dataset, model = workspace
+    from lightgaussian_tpu.cli import distill_train
+
+    out = tmp_path / "distilled"
+    distill_train.main([
+        "-s", str(dataset), "-m", str(out), "--eval", "--quiet",
+        "--start_checkpoint", str(model / "chkpnt40.npz"),
+        "--new_max_sh", "1", "--iteration_base", "40",
+        "--iterations_total", "50",
+        "--test_iterations", "50", "--save_iterations", "50",
+        "--checkpoint_iterations", "50", "--interpret",
+    ])
+    student = ply_io.load_gaussian_ply(out / "point_cloud/iteration_50/point_cloud.ply")
+    teacher = ply_io.load_gaussian_ply(model / "point_cloud/iteration_40/point_cloud.ply")
+    assert student.max_sh_degree == 1
+    assert student.sh_rest.shape[1] == 3  # (1+1)^2 - 1 coeffs
+    assert int(student.num_alive()) == int(teacher.num_alive())
+    # default freeze gates (reference distill_train.py:83-87): scaling,
+    # rotation, and opacity stay fixed; positions and SH keep training.
+    for attr in ("log_scales", "quats", "opacity_logits"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(student, attr))[np.asarray(student.alive)],
+            np.asarray(getattr(teacher, attr))[np.asarray(teacher.alive)],
+            atol=1e-5, err_msg=f"{attr} should be frozen in default distill",
+        )
+    assert (out / "chkpnt50.npz").exists()
+    scores = np.load(out / "imp_score.npz")["arr_0"]
+    assert scores.shape[0] == int(student.num_alive()) and np.isfinite(scores).all()
+    import csv
+
+    rows = [r for r in csv.DictReader(open(out / "metric.csv")) if r["set"] == "test"]
+    assert rows and float(rows[-1]["psnr"]) > 5
+
+
 def test_vectree_cli(workspace, tmp_path):
     _, model = workspace
     from lightgaussian_tpu.cli import vectree as vectree_cli
